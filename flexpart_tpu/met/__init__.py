@@ -1,0 +1,13 @@
+"""Met-data layer: grids, backends, preprocessing.
+
+Pipeline per wind-field time (analog of getfields.f90:93-196):
+  backend.fetch(t) -> EtaFields  (GRIB decode / synthetic)
+  verttransform.process_eta      (eta -> fixed z grid, clouds)
+  calcpar.calcpar                (ustar, Obukhov, hmix, w*, tropopause)
+producing a ZFields; two ZFields are double-buffered in device memory.
+"""
+from .grid import MetGrid, hybrid_coefficients
+from .fields import EtaFields, ZFields, zeros_zfields
+from .verttransform import process_eta, compute_heights
+from .calcpar import calcpar
+from .synthetic import SyntheticMet, make_grid, uniform_wind_met
