@@ -1,0 +1,392 @@
+"""The particle advance kernel: one lsynctime update for ALL particles.
+
+TPU-native re-design of the reference's per-particle integrator
+(/root/reference/src/advance.f90, called from the scheduler loop
+timemanager.f90:531-712): zero-acceleration advection with Petterssen
+corrector, Hanna/Langevin PBL turbulence with exact OU discretization,
+constant-diffusivity free troposphere / stratosphere, mesoscale velocity
+fluctuations, gravitational settling, reflection boundary conditions, and
+cyclic/pole handling — all as ONE branch-free vectorized function over the
+SoA particle arrays, jitted and shard_map-able.
+
+Fixed-step mode (CTL<0, method=0, the stock COMMAND default) runs the PBL
+pass once per sync interval; adaptive mode (method=1) reruns it in a
+bounded substep loop with per-particle time remaining (advance.f90:282-609).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import D_STRAT, D_TROP, GA, PI180, TURBMESOSCALE
+from ..met.fields import ZFields, F2_HMIX, F2_TROPO, F2_USTAR, F2_WSTAR, F2_OLI, F3_TT, F3_RHO
+from . import rng
+from .hanna import hanna, hanna1
+from .interp import (HorizWeights, horiz_weights, vert_weights, interp_wind,
+                     interp_wind_short, interp_2d, hmix_max)
+from .state import Particles, ds_add
+
+
+class StepConfig(NamedTuple):
+    """Static configuration of the advance kernel (compile-time)."""
+    nx: int
+    ny: int
+    nz: int
+    xglobal: bool
+    dx: float
+    dy: float
+    xlon0: float
+    ylat0: float
+    dxconst: float
+    dyconst: float
+    lsynctime: int
+    ldirect: int
+    turbswitch: bool
+    ifine: int
+    fine: float
+    method: int
+    ctl: float            # TL/dt ratio (>0 in adaptive mode)
+    lwindinterv: int
+    turboff: bool = False
+    nspec: int = 1
+    settling: bool = False
+    # settling-species parameters (species 0; get_settling.f90)
+    sp_density: float = -1.0
+    sp_dquer: float = 0.0       # [um]
+    sp_cunningham: float = 0.0
+    sp_vsetaver: float = 0.0
+    maxsubsteps: int = 12       # bound for the adaptive-mode while loop
+
+
+class StepDiag(NamedTuple):
+    """Per-step diagnostics (analog of nstop bookkeeping)."""
+    n_active: jnp.ndarray
+    n_exited: jnp.ndarray
+
+
+def _viscosity(t):
+    """Sutherland's law (dynamic_viscosity.f90)."""
+    return 1.827e-5 * (291.15 + 120.0) / (t + 120.0) * (t / 291.15) ** 1.5
+
+
+def _settling_velocity(cfg: StepConfig, temp, rhoa):
+    """Iterative Reynolds/Cd settling velocity (get_settling.f90:100-127).
+    Returns negative (downward) velocity [m/s]."""
+    vis_kin = _viscosity(temp) / rhoa
+    d_m = cfg.sp_dquer / 1.0e6
+
+    def cd_of(re):
+        re = jnp.maximum(re, 1e-12)
+        return jnp.where(re < 1.917, 24.0 / re,
+                         jnp.where(re < 500.0, 18.5 / re ** 0.6, 0.44))
+
+    settl = jnp.full_like(temp, cfg.sp_vsetaver)
+    reynolds = d_m * jnp.abs(settl) / vis_kin
+    for _ in range(5):
+        c_d = cd_of(reynolds)
+        settl = -jnp.sqrt(4.0 * GA * d_m * cfg.sp_density * cfg.sp_cunningham
+                          / (3.0 * c_d * rhoa))
+        reynolds = d_m * jnp.abs(settl) / vis_kin
+    return settl
+
+
+def _ou_update(vel, rnd, sig, dt_over_tl):
+    """Exact/linearized Ornstein-Uhlenbeck velocity update with the
+    reference's 0.5 threshold switch (advance.f90:371-384)."""
+    lin = (1.0 - dt_over_tl) * vel + rnd * sig * jnp.sqrt(2.0 * dt_over_tl)
+    r = jnp.exp(-dt_over_tl)
+    exact = r * vel + rnd * sig * jnp.sqrt(jnp.maximum(1.0 - r * r, 0.0))
+    return jnp.where(dt_over_tl < 0.5, lin, exact)
+
+
+def _reflect_pbl(z, delz, h):
+    """Ground/hmix reflection, forbidden-state flag (advance.f90:476-491)."""
+    delz = jnp.where(jnp.abs(delz) > h, jnp.fmod(delz, h), delz)
+    below = delz < -z
+    above = delz > (h - z)
+    znew = jnp.where(below, -z - delz,
+                     jnp.where(above, -z - delz + 2.0 * h, z + delz))
+    icbt = jnp.where(below | above, -1, 1).astype(jnp.int8)
+    return znew, icbt
+
+
+def _pbl_vertical(cfg: StepConfig, z, wp, icbt, h, ust, wst, ol, rho, drhodz,
+                  rnd_w, dt):
+    """The ifine vertical Langevin substeps (advance.f90:396-498).
+    Returns (z, wp, icbt, turb-at-final-z)."""
+    rhoaux = drhodz / rho
+    dtf = dt * cfg.fine
+    turb = None
+    for i in range(cfg.ifine):
+        if cfg.turbswitch:
+            turb = hanna(z, h, ust, wst, ol)
+            dtftlw = dtf / turb.tlw
+            # Gaussian branch (advance.f90:446-455); wp normalized by sigw
+            lin = ((1.0 - dtftlw) * wp + rnd_w[i] * jnp.sqrt(2.0 * dtftlw)
+                   + dtf * (turb.dsigwdz + rhoaux * turb.sigw))
+            rw = jnp.exp(-dtftlw)
+            exact = (rw * wp + rnd_w[i] * jnp.sqrt(jnp.maximum(1.0 - rw * rw, 0.0))
+                     + turb.tlw * (1.0 - rw) * (turb.dsigwdz + rhoaux * turb.sigw))
+            wp_new = jnp.where(dtftlw < 0.5, lin, exact) * icbt.astype(jnp.float32)
+            delz = wp_new * turb.sigw * dtf
+        else:
+            turb = hanna1(z, h, ust, wst, ol)
+            dtftlw = dtf / turb.tlw
+            rw = jnp.exp(-dtftlw)
+            wp_new = (rw * wp
+                      + rnd_w[i] * jnp.sqrt(jnp.maximum(1.0 - rw * rw, 0.0)) * turb.sigw
+                      + turb.tlw * (1.0 - rw)
+                      * (turb.dsigw2dz + rhoaux * turb.sigw ** 2)) \
+                * icbt.astype(jnp.float32)
+            delz = wp_new * dtf
+        if cfg.turboff:
+            wp_new = jnp.zeros_like(wp_new)
+            delz = jnp.zeros_like(delz)
+        z, icbt = _reflect_pbl(z, delz, h)
+        wp = wp_new
+    return z, wp, icbt, turb
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def advance_all(p: Particles, z0: ZFields, z1: ZFields,
+                itime, memtime0, memtime1, key,
+                cfg: StepConfig):
+    """Advance every scheduled particle by one lsynctime interval.
+
+    Returns (particles, diag).  Terminated-by-domain-exit particles get
+    active=False (reference nstop=3, advance.f90:804-808)."""
+    n = p.capacity
+    scheduled = p.active
+
+    dt1 = (itime - memtime0).astype(jnp.float32)
+    dt2 = (memtime1 - itime).astype(jnp.float32)
+    dtt = 1.0 / (dt1 + dt2)
+    tw0, tw1 = dt2 * dtt, dt1 * dtt
+
+    x = p.x
+    y = p.y
+    z = p.z
+    height = z0.height
+    hw = horiz_weights(x, y, cfg.nx, cfg.ny, cfg.xglobal)
+
+    # mixing height: max over 4 corners and both times (advance.f90:236-252)
+    h = jnp.maximum(hmix_max(z0, z1, hw, F2_HMIX), 1.0)
+    tropop = interp_2d(z0.f2d, (F2_TROPO,), hw)[0]
+
+    # surface-layer scales, time+space interpolated (interpol_all.f90:76-107)
+    s0 = interp_2d(z0.f2d, (F2_USTAR, F2_WSTAR, F2_OLI), hw)
+    s1 = interp_2d(z1.f2d, (F2_USTAR, F2_WSTAR, F2_OLI), hw)
+    ust, wst, oliaux = (s0 * tw0 + s1 * tw1)
+    ol = jnp.where(oliaux != 0.0, 1.0 / oliaux, 99999.0)
+
+    indz, dz1 = vert_weights(z, height)
+    wind = interp_wind(z0, z1, hw, indz, dz1, tw0, tw1)
+    u, v, w = wind.u, wind.v, wind.w
+
+    dt = jnp.float32(abs(cfg.lsynctime))
+    pbl = (z / h) <= 1.0
+
+    # ---------------- PBL branch (advance.f90:276-615) ----------------
+    rnd_h = rng.normals(key, (2, n), tag=1)
+    rnd_w = rng.normals(key, (cfg.ifine, n), tag=2)
+
+    turb0 = hanna(z, h, ust, wst, ol) if cfg.turbswitch else hanna1(z, h, ust, wst, ol)
+    up_pbl = _ou_update(p.up, rnd_h[0], turb0.sigu, dt / turb0.tlu)
+    vp_pbl = _ou_update(p.vp, rnd_h[1], turb0.sigv, dt / turb0.tlv)
+    if cfg.turboff:
+        up_pbl = jnp.zeros_like(up_pbl)
+        vp_pbl = jnp.zeros_like(vp_pbl)
+
+    z_pbl, wp_pbl, icbt, _ = _pbl_vertical(
+        cfg, z, p.wp, p.cbt, h, ust, wst, ol, wind.rho, wind.drhodz, rnd_w, dt)
+
+    # settling velocity (advance.f90:518-531)
+    if cfg.settling and cfg.sp_density > 0.0:
+        nix = jnp.clip(jnp.round(x).astype(jnp.int32), 0, cfg.nx - 1)
+        njy = jnp.clip(jnp.round(y).astype(jnp.int32), 0, cfg.ny - 1)
+        lin = indz * (cfg.ny * cfg.nx) + njy * cfg.nx + nix
+        nznynx = cfg.nz * cfg.ny * cfg.nx
+        tt_lo = z0.f3d[F3_TT].reshape(-1)[lin]
+        tt_hi = z0.f3d[F3_TT].reshape(-1)[lin + cfg.ny * cfg.nx]
+        rho_lo = z0.f3d[F3_RHO].reshape(-1)[lin]
+        rho_hi = z0.f3d[F3_RHO].reshape(-1)[lin + cfg.ny * cfg.nx]
+        temp = tt_lo * (1 - dz1) + tt_hi * dz1
+        rhoa = rho_lo * (1 - dz1) + rho_hi * dz1
+        settling = _settling_velocity(cfg, temp, rhoa)
+    else:
+        settling = jnp.zeros_like(z)
+    w_eff = w + settling
+
+    ldirf = jnp.float32(cfg.ldirect)
+    dxs_pbl = u * dt
+    dys_pbl = v * dt
+    daw_pbl = up_pbl * dt
+    dcw_pbl = vp_pbl * dt
+    z_pbl = z_pbl + w_eff * dt * ldirf
+    z_pbl = jnp.minimum(z_pbl, height[-1] - 1e-3)
+    z_pbl = jnp.where(z_pbl < 0.0, jnp.minimum(h - 1e-9, -z_pbl), z_pbl)
+
+    # -------- free troposphere / stratosphere (advance.f90:629-708) --------
+    rnd_ft = rng.normals(key, (3, n), tag=3)
+    in_trop = z < tropop
+    in_trans = (~in_trop) & (z < tropop + 1000.0)
+    weight = jnp.clip((z - tropop) / 1000.0, 0.0, 1.0)
+    uxscale_t = jnp.sqrt(2.0 * D_TROP / dt)
+    uxscale_tr = jnp.sqrt(2.0 * D_TROP / dt * (1.0 - weight))
+    wpscale_tr = jnp.sqrt(2.0 * D_STRAT / dt * weight)
+    wpscale_s = jnp.sqrt(2.0 * D_STRAT / dt)
+
+    ux = jnp.where(in_trop, rnd_ft[0] * uxscale_t,
+                   jnp.where(in_trans, rnd_ft[0] * uxscale_tr, 0.0))
+    vy = jnp.where(in_trop, rnd_ft[1] * uxscale_t,
+                   jnp.where(in_trans, rnd_ft[1] * uxscale_tr, 0.0))
+    wp_ft = jnp.where(in_trop, 0.0,
+                      jnp.where(in_trans,
+                                rnd_ft[2] * wpscale_tr + D_STRAT / 1000.0,
+                                rnd_ft[2] * wpscale_s))
+    if cfg.turboff:
+        ux = jnp.zeros_like(ux)
+        vy = jnp.zeros_like(vy)
+        wp_ft = jnp.zeros_like(wp_ft)
+
+    dxs_ft = (u + ux) * dt
+    dys_ft = (v + vy) * dt
+    z_ft = z + (w_eff + wp_ft) * dt * ldirf
+    z_ft = jnp.where(z_ft < 0.0, jnp.minimum(h - 1e-9, -z_ft), z_ft)
+
+    # ---------------- merge branches ----------------
+    dxsave = jnp.where(pbl, dxs_pbl, dxs_ft)
+    dysave = jnp.where(pbl, dys_pbl, dys_ft)
+    dawsave = jnp.where(pbl, daw_pbl, 0.0)
+    dcwsave = jnp.where(pbl, dcw_pbl, 0.0)
+    z_new = jnp.where(pbl, z_pbl, z_ft)
+    up_new = jnp.where(pbl, up_pbl, p.up)
+    vp_new = jnp.where(pbl, vp_pbl, p.vp)
+    wp_new = jnp.where(pbl, wp_pbl, wp_ft)
+    icbt = jnp.where(pbl, icbt, p.cbt)
+
+    # ---------------- mesoscale fluctuations (advance.f90:720-738) ----------
+    rnd_m = rng.normals(key, (3, n), tag=4)
+    r = jnp.exp(-2.0 * jnp.float32(abs(cfg.lsynctime)) / jnp.float32(cfg.lwindinterv))
+    rs = jnp.sqrt(1.0 - r * r)
+    usig_new = r * p.usig + rs * rnd_m[0] * wind.usig * TURBMESOSCALE
+    vsig_new = r * p.vsig + rs * rnd_m[1] * wind.vsig * TURBMESOSCALE
+    wsig_new = r * p.wsig + rs * rnd_m[2] * wind.wsig * TURBMESOSCALE
+    if cfg.turboff:
+        usig_new = jnp.zeros_like(usig_new)
+        vsig_new = jnp.zeros_like(vsig_new)
+        wsig_new = jnp.zeros_like(wsig_new)
+    lsync = jnp.float32(abs(cfg.lsynctime))
+    dxsave = dxsave + usig_new * lsync
+    dysave = dysave + vsig_new * lsync
+    z_new = z_new + wsig_new * lsync
+    z_new = jnp.abs(z_new)
+
+    # ------- windalign + metric position update (advance.f90:747-799) -------
+    ffinv = 1.0 / jnp.maximum(jnp.sqrt(u * u + v * v), 1e-30)
+    sinphi, cosphi = v * ffinv, u * ffinv
+    ux_t = cosphi * dawsave - sinphi * dcwsave
+    vy_t = sinphi * dawsave + cosphi * dcwsave
+    dxsave = dxsave + ux_t
+    dysave = dysave + vy_t
+
+    cosfact = cfg.dxconst / jnp.cos((y * cfg.dy + cfg.ylat0) * PI180)
+    x_hi, x_lo = ds_add(p.x_hi, p.x_lo, dxsave * cosfact * ldirf)
+    y_hi, y_lo = ds_add(p.y_hi, p.y_lo, dysave * cfg.dyconst * ldirf)
+
+    x_hi, x_lo, y_hi, y_lo, exited = _apply_bcs(cfg, x_hi, x_lo, y_hi, y_lo)
+    z_new = jnp.minimum(z_new, height[-1] - 1e-3)
+
+    # ---------------- Petterssen corrector (advance.f90:816-986) ------------
+    ldt = jnp.int32(abs(cfg.lsynctime))
+    endtime = itime + ldt * cfg.ldirect
+    can_pett = (jnp.abs(endtime) <= jnp.abs(memtime1)) & (~exited)
+    xn = x_hi + x_lo
+    yn = y_hi + y_lo
+    hw2 = horiz_weights(xn, yn, cfg.nx, cfg.ny, cfg.xglobal)
+    indz2, dz1_2 = vert_weights(z_new, height)
+    edt1 = (endtime - memtime0).astype(jnp.float32)
+    edt2 = (memtime1 - endtime).astype(jnp.float32)
+    edtt = 1.0 / jnp.maximum(edt1 + edt2, 1e-6)
+    u2, v2, w2 = interp_wind_short(z0, z1, hw2, indz2, dz1_2,
+                                   edt2 * edtt, edt1 * edtt)
+    w2 = w2 + settling
+    du = (u2 - u) / 2.0
+    dv = (v2 - v) / 2.0
+    dw = (w2 - w_eff) / 2.0
+    dtl = jnp.float32(abs(cfg.lsynctime))
+
+    z_corr = z_new + dw * dtl * ldirf
+    z_corr = jnp.where(z_corr < 0.0, jnp.minimum(h - 1e-9, -z_corr), z_corr)
+    cosfact2 = cfg.dxconst / jnp.cos((yn * cfg.dy + cfg.ylat0) * PI180)
+    xc_hi, xc_lo = ds_add(x_hi, x_lo, du * cosfact2 * dtl * ldirf)
+    yc_hi, yc_lo = ds_add(y_hi, y_lo, dv * cfg.dyconst * dtl * ldirf)
+    xc_hi, xc_lo, yc_hi, yc_lo, exited2 = _apply_bcs(cfg, xc_hi, xc_lo, yc_hi, yc_lo)
+
+    x_hi = jnp.where(can_pett, xc_hi, x_hi)
+    x_lo = jnp.where(can_pett, xc_lo, x_lo)
+    y_hi = jnp.where(can_pett, yc_hi, y_hi)
+    y_lo = jnp.where(can_pett, yc_lo, y_lo)
+    z_new = jnp.where(can_pett, z_corr, z_new)
+    exited = exited | (can_pett & exited2)
+    z_new = jnp.minimum(z_new, height[-1] - 1e-3)
+
+    # ---------------- write back (masked on scheduled) ----------------
+    keep = scheduled & (~exited)
+
+    def sel(new, old):
+        return jnp.where(scheduled, new, old)
+
+    new_p = p._replace(
+        x_hi=sel(x_hi, p.x_hi), x_lo=sel(x_lo, p.x_lo),
+        y_hi=sel(y_hi, p.y_hi), y_lo=sel(y_lo, p.y_lo),
+        z=sel(z_new, p.z),
+        up=sel(up_new, p.up), vp=sel(vp_new, p.vp), wp=sel(wp_new, p.wp),
+        usig=sel(usig_new, p.usig), vsig=sel(vsig_new, p.vsig),
+        wsig=sel(wsig_new, p.wsig),
+        cbt=jnp.where(scheduled, icbt, p.cbt).astype(jnp.int8),
+        itra=jnp.where(scheduled, itime + cfg.lsynctime * cfg.ldirect, p.itra),
+        active=jnp.where(scheduled, keep, p.active),
+    )
+    diag = StepDiag(
+        n_active=jnp.sum(new_p.active.astype(jnp.int32)),
+        n_exited=jnp.sum((scheduled & exited).astype(jnp.int32)),
+    )
+    return new_p, diag
+
+
+def _apply_bcs(cfg: StepConfig, x_hi, x_lo, y_hi, y_lo):
+    """Cyclic longitude + pole mirroring for global grids; exit detection
+    (advance.f90:784-808).  The double-single position pair is collapsed to
+    plain f32 only for particles that actually wrap/mirror."""
+    x = x_hi + x_lo
+    y = y_hi + y_lo
+    nxm = jnp.float32(cfg.nx - 1)
+    nym = jnp.float32(cfg.ny - 1)
+    eps = jnp.float32(cfg.nx / 3.0e5)
+    if cfg.xglobal:
+        xw = jnp.where(x >= nxm, x - nxm, x)
+        xw = jnp.where(x < 0.0, x + nxm, xw)
+        xw = jnp.where(xw <= eps, eps, xw)
+        xw = jnp.where(jnp.abs(xw - nxm) <= eps, nxm - eps, xw)
+        # pole crossing: mirror and shift 180 deg (advance.f90:792-798)
+        crossed_s = y < 0.0
+        crossed_n = y > nym
+        xw = jnp.where(crossed_s | crossed_n,
+                       jnp.mod(xw * cfg.dx + 180.0, 360.0) / cfg.dx, xw)
+        yw = jnp.where(crossed_s, -y, y)
+        yw = jnp.where(crossed_n, 2.0 * nym - yw, yw)
+        x_changed = xw != x
+        y_changed = yw != y
+        x_hi = jnp.where(x_changed, xw, x_hi)
+        x_lo = jnp.where(x_changed, 0.0, x_lo)
+        y_hi = jnp.where(y_changed, yw, y_hi)
+        y_lo = jnp.where(y_changed, 0.0, y_lo)
+        exited = (xw < 0.0) | (xw >= nxm) | (yw < 0.0) | (yw > nym)
+        return x_hi, x_lo, y_hi, y_lo, exited
+    exited = (x < 0.0) | (x >= nxm) | (y < 0.0) | (y > nym)
+    return x_hi, x_lo, y_hi, y_lo, exited

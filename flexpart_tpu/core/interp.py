@@ -1,0 +1,149 @@
+"""Space-time interpolation of met fields at particle positions.
+
+Vectorized re-design of the reference interpolation family
+(interpol_all.f90, interpol_wind.f90, interpol_mod.f90): per particle, one
+fused gather fetches the 4 horizontal corners x 2 vertical levels x 2 time
+levels of every needed 3-D field at once from the stacked field array
+(fields.ZFields.f3d), then bilinear/linear/linear weights combine them.
+Wind standard deviations (mesoscale driver) use the same gathered corner
+values, matching interpol_all.f90:216-240 (per-level, 8 samples) and
+interpol_wind.f90:195-215 (16 samples).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..met.fields import ZFields, F3_U, F3_V, F3_W, F3_RHO, F3_DRHODZ
+
+
+class HorizWeights(NamedTuple):
+    ix: jnp.ndarray    # (N,) i32 lower-left corner
+    jy: jnp.ndarray
+    idx4: jnp.ndarray  # (N,4) i32 flattened corner indices into (ny*nx)
+    p4: jnp.ndarray    # (N,4) f32 bilinear weights
+
+
+def horiz_weights(x, y, nx: int, ny: int, xglobal: bool) -> HorizWeights:
+    """Bilinear corner indices/weights (advance.f90:208-218).  For global
+    grids the +1 column wraps cyclically."""
+    ix = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, nx - 2)
+    jy = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, ny - 2)
+    ddx = jnp.clip(x - ix, 0.0, 1.0)
+    ddy = jnp.clip(y - jy, 0.0, 1.0)
+    rddx = 1.0 - ddx
+    rddy = 1.0 - ddy
+    p4 = jnp.stack([rddx * rddy, ddx * rddy, rddx * ddy, ddx * ddy], axis=-1)
+    ixp = ix + 1
+    if xglobal:
+        ixp = jnp.where(ixp > nx - 1, 0, ixp)
+    jyp = jnp.minimum(jy + 1, ny - 1)
+    base = jy * nx
+    basep = jyp * nx
+    idx4 = jnp.stack([base + ix, base + ixp, basep + ix, basep + ixp], axis=-1)
+    return HorizWeights(ix=ix, jy=jy, idx4=idx4, p4=p4)
+
+
+def vert_weights(z, height):
+    """Bracketing z-levels and weights (interpol_all.f90:118-126)."""
+    nz = height.shape[0]
+    indz = jnp.clip(jnp.searchsorted(height, z, side="right") - 1, 0, nz - 2)
+    h0 = height[indz]
+    h1 = height[indz + 1]
+    dz1 = jnp.clip((z - h0) / (h1 - h0), 0.0, 1.0)  # weight of upper level
+    return indz, dz1
+
+
+def gather_corners_3d(f3d, field_ids, hw: HorizWeights, indz):
+    """Gather corner values of selected 3-D fields at levels (indz, indz+1).
+
+    f3d: (NF3, nz, ny, nx); returns (F, 2, N, 4): per field, per level,
+    per particle, per corner."""
+    nf, nz, ny, nx = f3d.shape
+    flat = f3d.reshape(nf, nz, ny * nx)[jnp.asarray(field_ids)]
+    lin0 = indz[:, None] * (ny * nx) + hw.idx4          # (N,4)
+    lin1 = (indz + 1)[:, None] * (ny * nx) + hw.idx4
+    lin = jnp.stack([lin0, lin1], axis=0)               # (2,N,4)
+    out = flat.reshape(len(field_ids), nz * ny * nx)[:, lin]  # (F,2,N,4)
+    return out
+
+
+def gather_corners_2d(f2d, field_ids, hw: HorizWeights):
+    """(F2, ny, nx) -> (F, N, 4) corner values."""
+    nf, ny, nx = f2d.shape
+    flat = f2d.reshape(nf, ny * nx)[jnp.asarray(field_ids)]
+    return flat[:, hw.idx4]
+
+
+def interp_2d(f2d, field_ids, hw: HorizWeights):
+    """Bilinear 2-D interpolation: (F, N)."""
+    vals = gather_corners_2d(f2d, field_ids, hw)
+    return jnp.einsum("fnc,nc->fn", vals, hw.p4)
+
+
+class WindInterp(NamedTuple):
+    """Everything the advance kernel needs at the particle position."""
+    u: jnp.ndarray
+    v: jnp.ndarray
+    w: jnp.ndarray
+    rho: jnp.ndarray
+    drhodz: jnp.ndarray
+    usig: jnp.ndarray   # profile-averaged wind stddevs (mesoscale driver)
+    vsig: jnp.ndarray
+    wsig: jnp.ndarray
+
+
+_WIND_FIELDS = (F3_U, F3_V, F3_W, F3_RHO, F3_DRHODZ)
+
+
+def interp_wind(z0: ZFields, z1: ZFields, hw: HorizWeights, indz, dz1,
+                tw0, tw1) -> WindInterp:
+    """u,v,w,rho,drhodz + wind sigmas at particle positions.
+
+    tw0/tw1: scalar time weights (dt2*dtt, dt1*dtt in the reference).
+    Sigma uses the PBL convention (per level over 4 corners x 2 times,
+    interpol_all.f90:216-240, then 0.5*(level+level'), advance.f90:603-606);
+    the reference's above-PBL 16-sample variant differs only ~1/16 in
+    normalization and is treated identically here."""
+    c0 = gather_corners_3d(z0.f3d, _WIND_FIELDS, hw, indz)  # (5,2,N,4)
+    c1 = gather_corners_3d(z1.f3d, _WIND_FIELDS, hw, indz)
+
+    # horizontal + time interpolation per level: (5,2,N)
+    lev = (jnp.einsum("flnc,nc->fln", c0, hw.p4) * tw0
+           + jnp.einsum("flnc,nc->fln", c1, hw.p4) * tw1)
+    # vertical: (5,N)
+    val = lev[:, 0] * (1.0 - dz1) + lev[:, 1] * dz1
+
+    # wind stddev over the 8 samples per level (4 corners x 2 times)
+    uvw0 = c0[:3]
+    uvw1 = c1[:3]
+    sl = jnp.sum(uvw0, axis=-1) + jnp.sum(uvw1, axis=-1)         # (3,2,N)
+    sq = jnp.sum(uvw0 ** 2, axis=-1) + jnp.sum(uvw1 ** 2, axis=-1)
+    var = sq - sl * sl / 8.0
+    sig_lev = jnp.where(var < 1.0e-30, 0.0, jnp.sqrt(jnp.maximum(var, 0.0) / 7.0))
+    sig = 0.5 * (sig_lev[:, 0] + sig_lev[:, 1])                  # (3,N)
+
+    return WindInterp(u=val[0], v=val[1], w=val[2], rho=val[3],
+                      drhodz=val[4], usig=sig[0], vsig=sig[1], wsig=sig[2])
+
+
+def interp_wind_short(z0: ZFields, z1: ZFields, hw: HorizWeights, indz, dz1,
+                      tw0, tw1):
+    """Wind only, for the Petterssen corrector (interpol_wind_short.f90)."""
+    fields = (F3_U, F3_V, F3_W)
+    c0 = gather_corners_3d(z0.f3d, fields, hw, indz)
+    c1 = gather_corners_3d(z1.f3d, fields, hw, indz)
+    lev = (jnp.einsum("flnc,nc->fln", c0, hw.p4) * tw0
+           + jnp.einsum("flnc,nc->fln", c1, hw.p4) * tw1)
+    val = lev[:, 0] * (1.0 - dz1) + lev[:, 1] * dz1
+    return val[0], val[1], val[2]
+
+
+def hmix_max(z0: ZFields, z1: ZFields, hw: HorizWeights, f2_hmix: int):
+    """Max mixing height over the 4 surrounding points and both time levels
+    (advance.f90:236-252)."""
+    h0 = gather_corners_2d(z0.f2d, (f2_hmix,), hw)[0]
+    h1 = gather_corners_2d(z1.f2d, (f2_hmix,), hw)[0]
+    return jnp.maximum(jnp.max(h0, axis=-1), jnp.max(h1, axis=-1))

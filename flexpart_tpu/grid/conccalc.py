@@ -1,0 +1,132 @@
+"""Concentration sampling: scatter-add of particle mass onto the output grid.
+
+Vectorized re-design of /root/reference/src/conccalc.f90: for every live
+particle, the output cell (or 4-cell uniform kernel for particles older
+than 3 h and away from boundaries, conccalc.f90:171-260) is computed
+branch-free and the (mass / rho for mixing-ratio units) contributions are
+scatter-added into the 7-D accumulator with one fused `.at[].add`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..met.fields import ZFields, F3_RHO
+from ..core.state import Particles
+from ..core.interp import horiz_weights, vert_weights
+from .outgrid import Accumulators
+
+
+class ConcConfig(NamedTuple):
+    nxg: int
+    nyg: int
+    nzg: int
+    npointspec: int
+    nclassunc: int
+    nage: int
+    dxout: float
+    dyout: float
+    xoutshift: float     # met-grid lon0 - outgrid lon0 [deg]
+    youtshift: float
+    dx_met: float
+    dy_met: float
+    ind_samp: int        # 0: mass, -1: divide by air density
+    use_kernel: bool = True
+    ioutputforeachrelease: bool = True
+    particle_count_output: bool = False
+
+
+def make_conccalc(outheights):
+    """Bind the static output level heights, return a jitted sampler:
+    (acc, particles, zfields, itime, lage, weight, cfg) -> acc."""
+    oh = jnp.asarray(np.asarray(outheights, np.float32))
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def _run(acc: Accumulators, p: Particles, zf: ZFields,
+             itime, lage, weight, cfg: ConcConfig) -> Accumulators:
+        return _conccalc_impl(acc, p, zf, itime, lage, weight, cfg, oh)
+
+    return _run
+
+
+def _conccalc_impl(acc, p, zf, itime, lage, weight, cfg: ConcConfig, outheight):
+    n = p.capacity
+    live = p.active & (p.itra == itime)
+    x, y, z = p.x, p.y, p.z
+    itage = jnp.abs(p.itra - p.itramem)
+    # age class of the particle (conccalc.f90:54-59)
+    nage_idx = jnp.clip(jnp.searchsorted(lage, itage, side="right"),
+                        0, cfg.nage - 1)
+
+    # air density at the particle for mixing-ratio output
+    # (conccalc.f90:80-125; newer wind field only, no time interpolation)
+    if cfg.ind_samp == -1:
+        nx_m, ny_m = zf.f3d.shape[3], zf.f3d.shape[2]
+        hw = horiz_weights(x, y, nx_m, ny_m, False)
+        indz, dz1 = vert_weights(z, zf.height)
+        rho_flat = zf.f3d[F3_RHO].reshape(-1)
+        lin0 = indz[:, None] * (ny_m * nx_m) + hw.idx4
+        rho_lo = jnp.einsum("nc,nc->n", rho_flat[lin0], hw.p4)
+        rho_hi = jnp.einsum("nc,nc->n", rho_flat[lin0 + ny_m * nx_m], hw.p4)
+        rhoi = rho_lo * (1.0 - dz1) + rho_hi * dz1
+    else:
+        rhoi = jnp.ones_like(z)
+
+    # vertical output layer: first outheight above z (conccalc.f90:146-149)
+    kz = jnp.searchsorted(outheight, z, side="right")
+    in_z = kz < cfg.nzg
+    kz = jnp.minimum(kz, cfg.nzg - 1)
+
+    # output-grid coordinates (conccalc.f90:156-161)
+    xl = (x * cfg.dx_met + cfg.xoutshift) / cfg.dxout
+    yl = (y * cfg.dy_met + cfg.youtshift) / cfg.dyout
+    ix = jnp.floor(xl).astype(jnp.int32)
+    jy = jnp.floor(yl).astype(jnp.int32)
+
+    # direct attribution for young / near-boundary particles
+    # (conccalc.f90:171-178)
+    near_edge = ((xl < 0.5) | (yl < 0.5)
+                 | (xl > cfg.nxg - 1 - 0.5) | (yl > cfg.nyg - 1 - 0.5))
+    direct = (~cfg.use_kernel) | (itage < 10800) | near_edge
+
+    # uniform-kernel weights (conccalc.f90:203-220)
+    ddx = xl - ix
+    ddy = yl - jy
+    ixp = jnp.where(ddx > 0.5, ix + 1, ix - 1)
+    jyp = jnp.where(ddy > 0.5, jy + 1, jy - 1)
+    wx = jnp.where(ddx > 0.5, 1.5 - ddx, 0.5 + ddx)
+    wy = jnp.where(ddy > 0.5, 1.5 - ddy, 0.5 + ddy)
+
+    cx = jnp.stack([ix, ix, ixp, ixp], axis=-1)          # (N,4)
+    cy = jnp.stack([jy, jyp, jy, jyp], axis=-1)
+    w4 = jnp.stack([wx * wy, wx * (1 - wy), (1 - wx) * wy,
+                    (1 - wx) * (1 - wy)], axis=-1)
+    w4 = jnp.where(direct[:, None],
+                   jnp.concatenate([jnp.ones((n, 1)), jnp.zeros((n, 3))], 1),
+                   w4)
+
+    in_grid = (cx >= 0) & (cx < cfg.nxg) & (cy >= 0) & (cy < cfg.nyg)
+    valid = live[:, None] & in_z[:, None] & in_grid & (w4 > 0)
+
+    kp = p.npoint if cfg.ioutputforeachrelease else jnp.zeros_like(p.npoint)
+    cell = (((nage_idx * cfg.nclassunc + p.nclass) * cfg.npointspec + kp)
+            * cfg.nzg + kz)
+    lin = cell[:, None] * (cfg.nyg * cfg.nxg) + cy * cfg.nxg + cx
+    lin = jnp.where(valid, lin, 2 ** 30)  # out-of-range -> dropped
+
+    if cfg.particle_count_output:
+        contrib = jnp.broadcast_to(w4[..., None], w4.shape + (p.nspec,))
+    else:
+        contrib = (w4 / rhoi[:, None])[..., None] * p.mass[:, None, :]
+    contrib = jnp.where(valid[..., None], contrib * weight, 0.0)
+
+    flat = acc.gridunc.reshape(-1, p.nspec)
+    flat = flat.at[lin.reshape(-1)].add(contrib.reshape(-1, p.nspec),
+                                        mode="drop")
+    return acc._replace(gridunc=flat.reshape(acc.gridunc.shape),
+                        outnum=acc.outnum + weight)
