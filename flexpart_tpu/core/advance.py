@@ -32,34 +32,49 @@ from .state import Particles, ds_add
 
 
 class StepConfig(NamedTuple):
-    """Static configuration of the advance kernel (compile-time)."""
+    """Static (compile-time) configuration of the advance kernel.  Anything
+    that changes per run but not per compile lives in StepParams instead so
+    one XLA executable serves many runs."""
     nx: int
     ny: int
     nz: int
     xglobal: bool
-    dx: float
-    dy: float
-    xlon0: float
-    ylat0: float
-    dxconst: float
-    dyconst: float
-    lsynctime: int
     ldirect: int
     turbswitch: bool
     ifine: int
-    fine: float
     method: int
-    ctl: float            # TL/dt ratio (>0 in adaptive mode)
-    lwindinterv: int
     turboff: bool = False
     nspec: int = 1
     settling: bool = False
-    # settling-species parameters (species 0; get_settling.f90)
-    sp_density: float = -1.0
-    sp_dquer: float = 0.0       # [um]
-    sp_cunningham: float = 0.0
-    sp_vsetaver: float = 0.0
     maxsubsteps: int = 12       # bound for the adaptive-mode while loop
+
+
+class StepParams(NamedTuple):
+    """Traced scalars of the advance kernel (no recompile on change)."""
+    dx: jnp.ndarray
+    dy: jnp.ndarray
+    ylat0: jnp.ndarray
+    dxconst: jnp.ndarray
+    dyconst: jnp.ndarray
+    lsynctime: jnp.ndarray      # positive length [s]
+    fine: jnp.ndarray           # 1/ifine
+    ctl: jnp.ndarray            # TL/dt ratio (>0 in adaptive mode)
+    lwindinterv: jnp.ndarray
+    # settling-species parameters (species 0; get_settling.f90)
+    sp_density: jnp.ndarray
+    sp_dquer: jnp.ndarray       # [um]
+    sp_cunningham: jnp.ndarray
+    sp_vsetaver: jnp.ndarray
+
+    @classmethod
+    def make(cls, dx, dy, ylat0, dxconst, dyconst, lsynctime, fine,
+             ctl=-5.0, lwindinterv=3600, sp_density=-1.0, sp_dquer=0.0,
+             sp_cunningham=0.0, sp_vsetaver=0.0):
+        f = jnp.float32
+        return cls(f(dx), f(dy), f(ylat0), f(dxconst), f(dyconst),
+                   f(abs(lsynctime)), f(fine), f(ctl), f(lwindinterv),
+                   f(sp_density), f(sp_dquer), f(sp_cunningham),
+                   f(sp_vsetaver))
 
 
 class StepDiag(NamedTuple):
@@ -73,22 +88,22 @@ def _viscosity(t):
     return 1.827e-5 * (291.15 + 120.0) / (t + 120.0) * (t / 291.15) ** 1.5
 
 
-def _settling_velocity(cfg: StepConfig, temp, rhoa):
+def _settling_velocity(prm: StepParams, temp, rhoa):
     """Iterative Reynolds/Cd settling velocity (get_settling.f90:100-127).
     Returns negative (downward) velocity [m/s]."""
     vis_kin = _viscosity(temp) / rhoa
-    d_m = cfg.sp_dquer / 1.0e6
+    d_m = prm.sp_dquer / 1.0e6
 
     def cd_of(re):
         re = jnp.maximum(re, 1e-12)
         return jnp.where(re < 1.917, 24.0 / re,
                          jnp.where(re < 500.0, 18.5 / re ** 0.6, 0.44))
 
-    settl = jnp.full_like(temp, cfg.sp_vsetaver)
+    settl = jnp.full_like(temp, prm.sp_vsetaver)
     reynolds = d_m * jnp.abs(settl) / vis_kin
     for _ in range(5):
         c_d = cd_of(reynolds)
-        settl = -jnp.sqrt(4.0 * GA * d_m * cfg.sp_density * cfg.sp_cunningham
+        settl = -jnp.sqrt(4.0 * GA * d_m * prm.sp_density * prm.sp_cunningham
                           / (3.0 * c_d * rhoa))
         reynolds = d_m * jnp.abs(settl) / vis_kin
     return settl
@@ -114,12 +129,12 @@ def _reflect_pbl(z, delz, h):
     return znew, icbt
 
 
-def _pbl_vertical(cfg: StepConfig, z, wp, icbt, h, ust, wst, ol, rho, drhodz,
-                  rnd_w, dt):
+def _pbl_vertical(cfg: StepConfig, prm: StepParams, z, wp, icbt, h, ust, wst,
+                  ol, rho, drhodz, rnd_w, dt):
     """The ifine vertical Langevin substeps (advance.f90:396-498).
     Returns (z, wp, icbt, turb-at-final-z)."""
     rhoaux = drhodz / rho
-    dtf = dt * cfg.fine
+    dtf = dt * prm.fine
     turb = None
     for i in range(cfg.ifine):
         if cfg.turbswitch:
@@ -154,7 +169,7 @@ def _pbl_vertical(cfg: StepConfig, z, wp, icbt, h, ust, wst, ol, rho, drhodz,
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def advance_all(p: Particles, z0: ZFields, z1: ZFields,
                 itime, memtime0, memtime1, key,
-                cfg: StepConfig):
+                cfg: StepConfig, prm: StepParams):
     """Advance every scheduled particle by one lsynctime interval.
 
     Returns (particles, diag).  Terminated-by-domain-exit particles get
@@ -187,7 +202,7 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     wind = interp_wind(z0, z1, hw, indz, dz1, tw0, tw1)
     u, v, w = wind.u, wind.v, wind.w
 
-    dt = jnp.float32(abs(cfg.lsynctime))
+    dt = prm.lsynctime
     pbl = (z / h) <= 1.0
 
     # ---------------- PBL branch (advance.f90:276-615) ----------------
@@ -202,10 +217,11 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
         vp_pbl = jnp.zeros_like(vp_pbl)
 
     z_pbl, wp_pbl, icbt, _ = _pbl_vertical(
-        cfg, z, p.wp, p.cbt, h, ust, wst, ol, wind.rho, wind.drhodz, rnd_w, dt)
+        cfg, prm, z, p.wp, p.cbt, h, ust, wst, ol, wind.rho, wind.drhodz,
+        rnd_w, dt)
 
     # settling velocity (advance.f90:518-531)
-    if cfg.settling and cfg.sp_density > 0.0:
+    if cfg.settling:
         nix = jnp.clip(jnp.round(x).astype(jnp.int32), 0, cfg.nx - 1)
         njy = jnp.clip(jnp.round(y).astype(jnp.int32), 0, cfg.ny - 1)
         lin = indz * (cfg.ny * cfg.nx) + njy * cfg.nx + nix
@@ -216,7 +232,7 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
         rho_hi = z0.f3d[F3_RHO].reshape(-1)[lin + cfg.ny * cfg.nx]
         temp = tt_lo * (1 - dz1) + tt_hi * dz1
         rhoa = rho_lo * (1 - dz1) + rho_hi * dz1
-        settling = _settling_velocity(cfg, temp, rhoa)
+        settling = _settling_velocity(prm, temp, rhoa)
     else:
         settling = jnp.zeros_like(z)
     w_eff = w + settling
@@ -271,7 +287,7 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
 
     # ---------------- mesoscale fluctuations (advance.f90:720-738) ----------
     rnd_m = rng.normals(key, (3, n), tag=4)
-    r = jnp.exp(-2.0 * jnp.float32(abs(cfg.lsynctime)) / jnp.float32(cfg.lwindinterv))
+    r = jnp.exp(-2.0 * prm.lsynctime / prm.lwindinterv)
     rs = jnp.sqrt(1.0 - r * r)
     usig_new = r * p.usig + rs * rnd_m[0] * wind.usig * TURBMESOSCALE
     vsig_new = r * p.vsig + rs * rnd_m[1] * wind.vsig * TURBMESOSCALE
@@ -280,7 +296,7 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
         usig_new = jnp.zeros_like(usig_new)
         vsig_new = jnp.zeros_like(vsig_new)
         wsig_new = jnp.zeros_like(wsig_new)
-    lsync = jnp.float32(abs(cfg.lsynctime))
+    lsync = prm.lsynctime
     dxsave = dxsave + usig_new * lsync
     dysave = dysave + vsig_new * lsync
     z_new = z_new + wsig_new * lsync
@@ -294,15 +310,16 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     dxsave = dxsave + ux_t
     dysave = dysave + vy_t
 
-    cosfact = cfg.dxconst / jnp.cos((y * cfg.dy + cfg.ylat0) * PI180)
+    cosfact = prm.dxconst / jnp.cos((y * prm.dy + prm.ylat0) * PI180)
     x_hi, x_lo = ds_add(p.x_hi, p.x_lo, dxsave * cosfact * ldirf)
-    y_hi, y_lo = ds_add(p.y_hi, p.y_lo, dysave * cfg.dyconst * ldirf)
+    y_hi, y_lo = ds_add(p.y_hi, p.y_lo, dysave * prm.dyconst * ldirf)
 
-    x_hi, x_lo, y_hi, y_lo, exited = _apply_bcs(cfg, x_hi, x_lo, y_hi, y_lo)
+    x_hi, x_lo, y_hi, y_lo, exited = _apply_bcs(cfg, prm, x_hi, x_lo, y_hi,
+                                                 y_lo)
     z_new = jnp.minimum(z_new, height[-1] - 1e-3)
 
     # ---------------- Petterssen corrector (advance.f90:816-986) ------------
-    ldt = jnp.int32(abs(cfg.lsynctime))
+    ldt = prm.lsynctime.astype(jnp.int32)
     endtime = itime + ldt * cfg.ldirect
     can_pett = (jnp.abs(endtime) <= jnp.abs(memtime1)) & (~exited)
     xn = x_hi + x_lo
@@ -318,14 +335,15 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     du = (u2 - u) / 2.0
     dv = (v2 - v) / 2.0
     dw = (w2 - w_eff) / 2.0
-    dtl = jnp.float32(abs(cfg.lsynctime))
+    dtl = prm.lsynctime
 
     z_corr = z_new + dw * dtl * ldirf
     z_corr = jnp.where(z_corr < 0.0, jnp.minimum(h - 1e-9, -z_corr), z_corr)
-    cosfact2 = cfg.dxconst / jnp.cos((yn * cfg.dy + cfg.ylat0) * PI180)
+    cosfact2 = prm.dxconst / jnp.cos((yn * prm.dy + prm.ylat0) * PI180)
     xc_hi, xc_lo = ds_add(x_hi, x_lo, du * cosfact2 * dtl * ldirf)
-    yc_hi, yc_lo = ds_add(y_hi, y_lo, dv * cfg.dyconst * dtl * ldirf)
-    xc_hi, xc_lo, yc_hi, yc_lo, exited2 = _apply_bcs(cfg, xc_hi, xc_lo, yc_hi, yc_lo)
+    yc_hi, yc_lo = ds_add(y_hi, y_lo, dv * prm.dyconst * dtl * ldirf)
+    xc_hi, xc_lo, yc_hi, yc_lo, exited2 = _apply_bcs(cfg, prm, xc_hi, xc_lo,
+                                                     yc_hi, yc_lo)
 
     x_hi = jnp.where(can_pett, xc_hi, x_hi)
     x_lo = jnp.where(can_pett, xc_lo, x_lo)
@@ -349,7 +367,9 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
         usig=sel(usig_new, p.usig), vsig=sel(vsig_new, p.vsig),
         wsig=sel(wsig_new, p.wsig),
         cbt=jnp.where(scheduled, icbt, p.cbt).astype(jnp.int8),
-        itra=jnp.where(scheduled, itime + cfg.lsynctime * cfg.ldirect, p.itra),
+        itra=jnp.where(scheduled,
+                       itime + prm.lsynctime.astype(jnp.int32) * cfg.ldirect,
+                       p.itra),
         active=jnp.where(scheduled, keep, p.active),
     )
     diag = StepDiag(
@@ -359,7 +379,7 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     return new_p, diag
 
 
-def _apply_bcs(cfg: StepConfig, x_hi, x_lo, y_hi, y_lo):
+def _apply_bcs(cfg: StepConfig, prm: StepParams, x_hi, x_lo, y_hi, y_lo):
     """Cyclic longitude + pole mirroring for global grids; exit detection
     (advance.f90:784-808).  The double-single position pair is collapsed to
     plain f32 only for particles that actually wrap/mirror."""
@@ -377,7 +397,7 @@ def _apply_bcs(cfg: StepConfig, x_hi, x_lo, y_hi, y_lo):
         crossed_s = y < 0.0
         crossed_n = y > nym
         xw = jnp.where(crossed_s | crossed_n,
-                       jnp.mod(xw * cfg.dx + 180.0, 360.0) / cfg.dx, xw)
+                       jnp.mod(xw * prm.dx + 180.0, 360.0) / prm.dx, xw)
         yw = jnp.where(crossed_s, -y, y)
         yw = jnp.where(crossed_n, 2.0 * nym - yw, yw)
         x_changed = xw != x

@@ -92,7 +92,7 @@ def _conccalc_impl(acc, p, zf, itime, lage, weight, cfg: ConcConfig, outheight):
     # (conccalc.f90:171-178)
     near_edge = ((xl < 0.5) | (yl < 0.5)
                  | (xl > cfg.nxg - 1 - 0.5) | (yl > cfg.nyg - 1 - 0.5))
-    direct = (~cfg.use_kernel) | (itage < 10800) | near_edge
+    direct = (not cfg.use_kernel) | (itage < 10800) | near_edge
 
     # uniform-kernel weights (conccalc.f90:203-220)
     ddx = xl - ix

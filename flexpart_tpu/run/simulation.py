@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import AgeClasses, Command, OutGrid, Releases
-from ..core import (StepConfig, activate, advance_all, build_release_schedule)
+from ..core import (StepConfig, StepParams, activate, advance_all,
+                    build_release_schedule)
 from ..core.state import Particles
 from ..grid.conccalc import ConcConfig, make_conccalc
 from ..grid.outgrid import (Accumulators, OutputGridGeometry,
@@ -69,15 +70,17 @@ class Simulation:
         self.step_cfg = StepConfig(
             nx=self.grid.nx, ny=self.grid.ny, nz=self.grid.nlev,
             xglobal=self.grid.xglobal,
-            dx=self.grid.dx, dy=self.grid.dy,
-            xlon0=self.grid.xlon0, ylat0=self.grid.ylat0,
-            dxconst=self.grid.dxconst, dyconst=self.grid.dyconst,
-            lsynctime=cmd.lsynctime, ldirect=cmd.ldirect,
-            turbswitch=cmd.turbswitch, ifine=cmd.ifine_eff, fine=cmd.fine,
-            method=cmd.method, ctl=cmd.ctl_eff,
-            lwindinterv=self.wind_interval,
+            ldirect=cmd.ldirect,
+            turbswitch=cmd.turbswitch, ifine=cmd.ifine_eff,
+            method=cmd.method,
             nspec=self.nspec,
-            settling=sc is not None,
+            settling=sc is not None and sp0.density > 0.0,
+        )
+        self.step_prm = StepParams.make(
+            dx=self.grid.dx, dy=self.grid.dy, ylat0=self.grid.ylat0,
+            dxconst=self.grid.dxconst, dyconst=self.grid.dyconst,
+            lsynctime=cmd.lsynctime, fine=cmd.fine,
+            ctl=cmd.ctl_eff, lwindinterv=self.wind_interval,
             sp_density=max(sp0.density, -1.0),
             sp_dquer=sp0.dquer,
             sp_cunningham=sc.cunningham if sc else 0.0,
@@ -195,7 +198,8 @@ class Simulation:
             key = jax.random.fold_in(self._key, istep)
             self.particles, diag = advance_all(
                 self.particles, z0, z1, jnp.int32(itime),
-                jnp.int32(mt0), jnp.int32(mt1), key, self.step_cfg)
+                jnp.int32(mt0), jnp.int32(mt1), key, self.step_cfg,
+                self.step_prm)
             n_act = int(diag.n_active)
             particle_steps += n_act
             self.timings["advance"] = self.timings.get(

@@ -4,8 +4,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from flexpart_tpu.core import (Particles, StepConfig, activate, advance_all,
-                               build_release_schedule, empty_particles)
+from flexpart_tpu.core import (Particles, StepConfig, StepParams, activate,
+                               advance_all, build_release_schedule,
+                               empty_particles)
 from flexpart_tpu.core.hanna import hanna, hanna1
 from flexpart_tpu.core.interp import horiz_weights, vert_weights, interp_wind
 from flexpart_tpu.core.state import ds_add
@@ -27,13 +28,12 @@ def uniform_setup():
 
 def make_cfg(grid, lsynctime=900, turboff=False, **kw):
     d = dict(nx=grid.nx, ny=grid.ny, nz=grid.nlev, xglobal=grid.xglobal,
-             dx=grid.dx, dy=grid.dy, xlon0=grid.xlon0, ylat0=grid.ylat0,
-             dxconst=grid.dxconst, dyconst=grid.dyconst,
-             lsynctime=lsynctime, ldirect=1, turbswitch=False, ifine=1,
-             fine=1.0, method=0, ctl=-5.0, lwindinterv=3600,
-             turboff=turboff)
+             ldirect=1, turbswitch=False, ifine=1, method=0, turboff=turboff)
     d.update(kw)
-    return StepConfig(**d)
+    prm = StepParams.make(dx=grid.dx, dy=grid.dy, ylat0=grid.ylat0,
+                          dxconst=grid.dxconst, dyconst=grid.dyconst,
+                          lsynctime=lsynctime, fine=1.0 / d["ifine"])
+    return StepConfig(**d), prm
 
 
 def test_ds_add_precision():
@@ -65,7 +65,7 @@ def test_pure_advection(uniform_setup):
     """With turbulence off and uniform 10 m/s westerly, particles move east
     by u*dt*dxconst/cos(lat) grid units, z unchanged."""
     grid, z0, height = uniform_setup
-    cfg = make_cfg(grid, turboff=True)
+    cfg, prm = make_cfg(grid, turboff=True)
     n = 8
     p = empty_particles(n)
     p = p._replace(
@@ -76,7 +76,7 @@ def test_pure_advection(uniform_setup):
     )
     key = jax.random.PRNGKey(0)
     p2, diag = advance_all(p, z0, z0, jnp.int32(0), jnp.int32(0),
-                           jnp.int32(3600), key, cfg)
+                           jnp.int32(3600), key, cfg, prm)
     lat = 5.0 * grid.dy + grid.ylat0
     expected_dx = 10.0 * 900 * grid.dxconst / np.cos(np.deg2rad(lat))
     np.testing.assert_allclose(np.asarray(p2.x), 10.0 + expected_dx, rtol=1e-5)
@@ -88,7 +88,7 @@ def test_pure_advection(uniform_setup):
 
 def test_domain_exit(uniform_setup):
     grid, z0, height = uniform_setup
-    cfg = make_cfg(grid, turboff=True)
+    cfg, prm = make_cfg(grid, turboff=True)
     n = 4
     p = empty_particles(n)
     p = p._replace(
@@ -98,7 +98,7 @@ def test_domain_exit(uniform_setup):
     )
     key = jax.random.PRNGKey(0)
     p2, diag = advance_all(p, z0, z0, jnp.int32(0), jnp.int32(0),
-                           jnp.int32(3600), key, cfg)
+                           jnp.int32(3600), key, cfg, prm)
     assert int(diag.n_exited) == n
     assert not bool(jnp.any(p2.active))
 
@@ -106,7 +106,7 @@ def test_domain_exit(uniform_setup):
 def test_reflection_keeps_particles_in_pbl(uniform_setup):
     """Turbulent particles in the PBL stay in [0, ~h] and above ground."""
     grid, z0, height = uniform_setup
-    cfg = make_cfg(grid, turboff=False)
+    cfg, prm = make_cfg(grid, turboff=False)
     n = 512
     p = empty_particles(n)
     p = p._replace(
@@ -119,7 +119,7 @@ def test_reflection_keeps_particles_in_pbl(uniform_setup):
     for step in range(8):
         p, diag = advance_all(p, z0, z0, jnp.int32(itime), jnp.int32(0),
                               jnp.int32(7200), jax.random.fold_in(key, step),
-                              cfg)
+                              cfg, prm)
         itime += 900
     zf = np.asarray(p.z)
     assert np.all(zf >= 0.0)
@@ -149,7 +149,7 @@ def test_well_mixed_criterion(uniform_setup):
     advance.f90:555-577): an initially well-mixed PBL tracer must STAY
     well-mixed under the Langevin turbulence scheme."""
     grid, z0, height = uniform_setup
-    cfg = make_cfg(grid, lsynctime=300, turboff=False)
+    cfg, prm = make_cfg(grid, lsynctime=300, turboff=False)
     n = 4000
     key = jax.random.PRNGKey(7)
     # hmix for the uniform field is ~constant; read it at test point
@@ -165,7 +165,7 @@ def test_well_mixed_criterion(uniform_setup):
     for step in range(24):  # 2 hours
         p, _ = advance_all(p, z0, z0, jnp.int32(itime), jnp.int32(0),
                            jnp.int32(86400), jax.random.fold_in(key, step),
-                           cfg)
+                           cfg, prm)
         itime += 300
     zeta = np.asarray(p.z)[np.asarray(p.active)] / hmix
     zeta = zeta[zeta <= 1.0]

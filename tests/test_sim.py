@@ -32,11 +32,11 @@ def sim_result(tmp_path_factory):
 def test_outputs_written(sim_result):
     sim, outdir = sim_result
     npz = sorted(Path(outdir).glob("grid_conc_*.npz"))
-    assert len(npz) == 6  # 6 hourly outputs
+    assert len(npz) == 5  # windows centered hourly; 5 complete in a 6-h run
     nc = sorted(Path(outdir).glob("grid_conc_*.nc"))
     assert len(nc) == 1
     dates = (Path(outdir) / "dates").read_text().strip().splitlines()
-    assert len(dates) == 6
+    assert len(dates) == 5
 
 
 def test_particles_stay_active(sim_result):
@@ -66,6 +66,6 @@ def test_netcdf_readable(sim_result):
     nc = sorted(Path(outdir).glob("grid_conc_*.nc"))[0]
     f = netcdf_file(str(nc), "r")
     v = f.variables["spec001_mr"]
-    assert v.shape[0] == 6
+    assert v.shape[0] == 5
     assert np.isfinite(v[:]).all()
     f.close()
