@@ -379,6 +379,32 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     return new_p, diag
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "n_chunks"))
+def advance_chunked(p: Particles, z0: ZFields, z1: ZFields,
+                    itime, memtime0, memtime1, key,
+                    cfg: StepConfig, prm: StepParams, n_chunks: int):
+    """advance_all over particle chunks via lax.map: bounds the gather
+    intermediates (the (F,2,B,4) corner arrays) to one chunk, letting a
+    single chip hold 10M+ particles in HBM.  Each chunk folds its index
+    into the step key so streams stay decorrelated."""
+    n = p.capacity
+    if n % n_chunks:
+        raise ValueError(f"capacity {n} not divisible by {n_chunks} chunks")
+    b = n // n_chunks
+    pc = jax.tree.map(lambda a: a.reshape((n_chunks, b) + a.shape[1:]), p)
+
+    def body(args):
+        pi, i = args
+        ki = jax.random.fold_in(key, i)
+        return advance_all(pi, z0, z1, itime, memtime0, memtime1, ki,
+                           cfg, prm)
+
+    pout, diag = jax.lax.map(body, (pc, jnp.arange(n_chunks)))
+    p2 = jax.tree.map(lambda a: a.reshape((n,) + a.shape[2:]), pout)
+    return p2, StepDiag(n_active=diag.n_active.sum(),
+                        n_exited=diag.n_exited.sum())
+
+
 def _apply_bcs(cfg: StepConfig, prm: StepParams, x_hi, x_lo, y_hi, y_lo):
     """Cyclic longitude + pole mirroring for global grids; exit detection
     (advance.f90:784-808).  The double-single position pair is collapsed to
