@@ -135,6 +135,11 @@ class Species:
 
     def size_classes(self) -> SizeClasses | None:
         if self.density > 0.0 and self.dquer > 0.0:
+            if self.dsigma <= 1.0:
+                # readspecies.f90:339-343: aerosol dsigma must exceed 1
+                raise ValueError(
+                    f"species {self.name}: PDSIGMA={self.dsigma} invalid; "
+                    "must be > 1 for aerosols (readspecies.f90:339)")
             return part0(self.dquer, self.dsigma, self.density)
         return None
 

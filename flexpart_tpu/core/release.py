@@ -88,6 +88,7 @@ def build_release_schedule(rel: Releases, cmd: Command, grid: MetGrid,
         npoint=p.npoint.at[idx].set(npoint),
         nclass=p.nclass.at[idx].set(nclass.astype(np.int32)),
         mass=p.mass.at[idx].set(mass),
+        mass0=p.mass0.at[idx].set(mass),
     )
 
 

@@ -44,6 +44,7 @@ class Particles(NamedTuple):
     wsig: jnp.ndarray     # (N,) f32
     cbt: jnp.ndarray      # (N,) i8 forbidden-state flag (+1/-1)
     mass: jnp.ndarray     # (N, nspec) f32
+    mass0: jnp.ndarray    # (N, nspec) f32 mass at release (minmass check)
     active: jnp.ndarray   # (N,) bool
 
     @property
@@ -73,6 +74,7 @@ def empty_particles(capacity: int, nspec: int = 1) -> Particles:
         up=zf, vp=zf, wp=zf, usig=zf, vsig=zf, wsig=zf,
         cbt=jnp.ones(capacity, jnp.int8),
         mass=jnp.zeros((capacity, nspec), jnp.float32),
+        mass0=jnp.zeros((capacity, nspec), jnp.float32),
         active=jnp.zeros(capacity, bool),
     )
 

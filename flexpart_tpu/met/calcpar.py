@@ -185,8 +185,13 @@ def _calcpar_jit(akz, bkz, eta_ps, eta_tt2, eta_td2, eta_sshf, eta_surfstr,
     return ustar, oli, hmix, wstar, tropo
 
 
-def calcpar(grid: MetGrid, eta, z: ZFields, lsubgrid: bool = False) -> ZFields:
-    """Fill the calcpar surface fields of a processed ZFields."""
+def calcpar(grid: MetGrid, eta, z: ZFields, lsubgrid: bool = False,
+            vdep_kernel=None) -> ZFields:
+    """Fill the calcpar surface fields of a processed ZFields.
+
+    vdep_kernel: optional jitted dry-deposition-velocity kernel from
+    physics.drydepo.make_vdep_kernel; when given, the per-species vdep
+    field is computed exactly like calcpar.f90:170-186."""
     akz = jnp.asarray(grid.akz, jnp.float32)
     bkz = jnp.asarray(grid.bkz, jnp.float32)
     lats = jnp.asarray(grid.lats, jnp.float32)
@@ -198,4 +203,10 @@ def calcpar(grid: MetGrid, eta, z: ZFields, lsubgrid: bool = False) -> ZFields:
     f2d = f2d.at[F2_USTAR].set(ustar).at[F2_OLI].set(oli)
     f2d = f2d.at[F2_HMIX].set(hmix).at[F2_WSTAR].set(wstar)
     f2d = f2d.at[F2_TROPO].set(tropo)
-    return z._replace(f2d=f2d)
+    z = z._replace(f2d=f2d)
+    if vdep_kernel is not None:
+        rh = ew(eta.td2) / ew(eta.tt2)          # calcpar.f90:172-175
+        vdep = vdep_kernel(ustar, eta.tt2, rh, eta.ps, oli, eta.ssr,
+                           eta.lsprec + eta.convprec, eta.sd)
+        z = z._replace(vdep=vdep)
+    return z

@@ -36,6 +36,10 @@ from ..grid.outgrid import (Accumulators, OutputGridGeometry,
 from ..io.writer import OutputWriter
 from ..met import calcpar, compute_heights, process_eta
 from ..met.grid import MetGrid
+from ..physics import (MassSpecies, WetSpecies, apply_decay_drydep,
+                       apply_wetdepo, decay_deposition_grids,
+                       make_depokernel, make_vdep_kernel, setup_drydep,
+                       wetscav_all)
 from ..utils.dates import add_seconds
 
 log = logging.getLogger("flexpart_tpu")
@@ -57,6 +61,8 @@ class Simulation:
     use_clwc: bool = False
     write_netcdf: bool = True
     write_npz: bool = True
+    options_dir: str | None = None   # dir with IGBP/surfdata/surfdepo files
+    minmass: float = 1.0e-4          # termination threshold (par_mod.f90)
 
     def __post_init__(self):
         cmd = self.cmd
@@ -120,6 +126,50 @@ class Simulation:
         self._key = jax.random.PRNGKey(self.seed)
         self.timings: dict[str, float] = {}
 
+        # --- deposition / decay setup (wetdepo.f90, getvdep.f90 chain) ---
+        species = self.releases.species
+        self.wet_species = tuple(WetSpecies.from_species(s)
+                                 for s in species)
+        self.any_wetdep = any(w.wetdep for w in self.wet_species)
+        self.any_drydep = any(s.drydep for s in species)
+        self.mass_species = MassSpecies(
+            decay=tuple(s.decay for s in species),
+            drydep=tuple(s.drydep for s in species),
+            minmass=self.minmass)
+        self.any_decay = any(s.decay > 0 for s in species)
+        self._decay_arr = jnp.asarray([s.decay for s in species],
+                                      jnp.float32)
+        self._vdep_kernel = None        # built lazily (needs lsm field)
+        cc = self.conc_cfg
+        self.depo_scatter = make_depokernel(
+            cc.nxg, cc.nyg, cc.npointspec, cc.nclassunc, cc.nage,
+            cc.dxout, cc.dyout, cc.xoutshift, cc.youtshift,
+            cc.dx_met, cc.dy_met)
+
+    def _ensure_vdep_kernel(self, eta):
+        if self._vdep_kernel is not None or not self.any_drydep:
+            return
+        species = self.releases.species
+        needs_tables = any(s.reldiff > 0 or (s.density > 0 and s.dquer > 0)
+                           for s in species)
+        if needs_tables and self.options_dir is not None:
+            mmdd = self.cmd.bdate.month * 100 + self.cmd.bdate.day
+            td = setup_drydep(self.options_dir, self.grid, species,
+                              np.asarray(eta.lsm), mmdd)
+            self._vdep_kernel = make_vdep_kernel(td)
+        else:
+            # constant-velocity fallback only (getvdep.f90:196-203)
+            dryvel = np.asarray([max(s.dryvel, 0.0) for s in species],
+                                np.float32)
+
+            def const_kernel(ust, tt2, rh, ps, oli, ssr, precip, sd,
+                             _dv=jnp.asarray(dryvel)):
+                ny, nx = ust.shape
+                return jnp.broadcast_to(_dv[:, None, None],
+                                        (_dv.shape[0], ny, nx))
+
+            self._vdep_kernel = const_kernel
+
     # ----- met double buffer (getfields.f90:93-196 analog) -----
     def _get_field(self, tsec: int):
         if tsec not in self._buf:
@@ -127,10 +177,12 @@ class Simulation:
             eta = self.met_backend.fetch(float(tsec))
             if self._height is None:
                 self._height = compute_heights(self.grid, eta)
+            self._ensure_vdep_kernel(eta)
             z = process_eta(self.grid, eta, self._height,
                             use_clwc=self.use_clwc)
             z = calcpar(self.grid, eta, z,
-                        lsubgrid=bool(self.cmd.lsubgrid))
+                        lsubgrid=bool(self.cmd.lsubgrid),
+                        vdep_kernel=self._vdep_kernel)
             # keep at most 3 buffered fields
             while len(self._buf) >= 3:
                 oldest = min(self._buf)
@@ -166,6 +218,38 @@ class Simulation:
         for istep in range(nsteps + 1):
             itime = istep * lsync
             z0, z1, mt0, mt1 = self._fields_for(itime)
+
+            # interval since deposited-mass decay reference time
+            # (wetdepo.f90:57-62)
+            if cmd.ldirect * itime <= cmd.ldirect * loutnext:
+                ldeltat = itime - (loutnext - cmd.loutstep * cmd.ldirect)
+            else:
+                ldeltat = itime - loutnext
+
+            # wet deposition over the interval ending at itime
+            # (timemanager.f90:164-169; field nearest itime-lsync/2)
+            if self.any_wetdep and istep > 0:
+                interp_t = itime - lsync // 2
+                zw = z0 if abs(mt0 - interp_t) < abs(mt1 - interp_t) else z1
+                lam, grfrac = wetscav_all(
+                    self.particles, zw, jnp.int32(itime),
+                    jnp.int32(cmd.lsynctime), self.wet_species,
+                    self.use_clwc)
+                self.particles, wdep = apply_wetdepo(
+                    self.particles, lam, grfrac, jnp.int32(cmd.lsynctime),
+                    jnp.int32(ldeltat), self.mass_species)
+                if cmd.ldirect == 1:
+                    self.acc = self.acc._replace(
+                        wetgridunc=self._scatter_depo(
+                            self.acc.wetgridunc, wdep, itime))
+
+            # radioactive decay of deposited mass on the output grids
+            # (timemanager.f90:269-304)
+            if self.any_decay and istep > 0:
+                wg, dg = decay_deposition_grids(
+                    self.acc.wetgridunc, self.acc.drygridunc,
+                    self._decay_arr, jnp.int32(cmd.lsynctime))
+                self.acc = self.acc._replace(wetgridunc=wg, drygridunc=dg)
 
             # releases
             self.particles = activate(self.particles, jnp.int32(itime))
@@ -205,6 +289,18 @@ class Simulation:
             self.timings["advance"] = self.timings.get(
                 "advance", 0.0) + _time.perf_counter() - t0
 
+            # decay + dry deposition + minmass (timemanager.f90:643-686)
+            if self.any_drydep or self.any_decay:
+                vdep = z1.vdep if self.any_drydep else None
+                self.particles, ddep = apply_decay_drydep(
+                    self.particles, vdep, jnp.int32(cmd.lsynctime),
+                    jnp.int32(ldeltat), self.mass_species,
+                    has_vdep=self.any_drydep)
+                if self.any_drydep and cmd.ldirect == 1:
+                    self.acc = self.acc._replace(
+                        drygridunc=self._scatter_depo(
+                            self.acc.drygridunc, ddep, itime + lsync))
+
             # age-class termination (timemanager.f90:701-707)
             max_age = self.ageclasses.max_age
             if max_age is not None:
@@ -219,6 +315,17 @@ class Simulation:
         self.timings["wall"] = _time.perf_counter() - t_wall0
         self.timings["particle_steps"] = particle_steps
         return self.particles
+
+    def _scatter_depo(self, grid, deposit, itime):
+        """Kernel scatter of per-particle deposits (wet/drydepokernel)."""
+        p = self.particles
+        itage = jnp.abs(jnp.int32(itime) - p.itramem)
+        nage_idx = jnp.clip(jnp.searchsorted(self.lage, itage,
+                                             side="right"),
+                            0, self.conc_cfg.nage - 1)
+        kp = (p.npoint if self.cmd.ioutputforeachrelease
+              else jnp.zeros_like(p.npoint))
+        return self.depo_scatter(grid, deposit, p, nage_idx, kp)
 
     # ----- output (concoutput.f90 analog) -----
     def _write_output(self, itime: int):
@@ -241,9 +348,30 @@ class Simulation:
         # reorder to (nspec, npoint, nage, nz, ny, nx)
         conc = np.moveaxis(conc, -1, 0).transpose(0, 2, 1, 3, 4, 5)
         unc = np.moveaxis(unc, -1, 0).transpose(0, 2, 1, 3, 4, 5)
+
+        # cumulative wet/dry deposition in 1e-12 kg/m2
+        # (concoutput.f90 wetgrid: factor 1e12/area, no outnum division)
+        wet = dry = None
+        if self.any_wetdep or self.any_drydep:
+            area = self.geo.area
+            afac = np.where(area > 0.0, 1.0e12 / np.maximum(area, 1e-30),
+                            0.0)                   # (ny, nx)
+
+            def dep2out(g):  # (nage,nclass,kp,ny,nx,ks) -> (ks,kp,nage,...)
+                d = np.asarray(g).sum(axis=1)       # over nclass
+                d = np.moveaxis(d, -1, 0).transpose(0, 2, 1, 3, 4)
+                return d * afac[None, None, None]
+
+            wet = dep2out(acc.wetgridunc)
+            dry = dep2out(acc.drygridunc)
+
         when = add_seconds(self.cmd.bdate, itime)
-        self.writer.write(when, conc, unc)
-        self.acc = zero_accumulators(
+        self.writer.write(when, conc, unc, wet=wet, dry=dry)
+        # concentrations reset each output window; deposition grids are
+        # CUMULATIVE over the run (concoutput.f90 never zeroes wetgridunc)
+        zeroed = zero_accumulators(
             self.geo, self.nspec, self.conc_cfg.npointspec,
             self.nclassunc, self.ageclasses.nageclass)
+        self.acc = zeroed._replace(wetgridunc=self.acc.wetgridunc,
+                                   drygridunc=self.acc.drygridunc)
         log.info("output written at %s (outnum=%.1f)", when, outnum)
