@@ -50,7 +50,7 @@ class SyntheticMet:
         ps = 101325.0 - 800.0 * np.cos(2 * lam - 1e-5 * t) * np.sin(2 * phi) ** 2
 
         # temperature: lat gradient + lapse rate applied on eta levels
-        tt2 = 288.0 - 32.0 * np.sin(phi) ** 2 + 2.0 * np.sin(lam + 7.3e-5 * t)
+        tt2 = 300.0 - 45.0 * np.sin(phi) ** 2 + 2.0 * np.sin(lam + 7.3e-5 * t)
         td2 = tt2 - 2.0 - 6.0 * np.sin(phi) ** 2
 
         # approximate level heights for the analytic profiles
@@ -60,8 +60,18 @@ class SyntheticMet:
         lapse = 6.5e-3
         tth = tt2[None] - lapse * zapprox
         tth = np.maximum(tth, 216.0)  # isothermal stratosphere
-        qs = 0.012 * np.exp(-zapprox / 2500.0)
-        qvh = qs * (0.4 + 0.3 * np.cos(phi) ** 2)
+        # humidity from actual saturation (Magnus) so the tropics are
+        # conditionally unstable and the Emanuel scheme has work to do
+        tc_h = tth - 273.15
+        es = 611.2 * np.exp(17.67 * tc_h / (243.5 + tc_h))
+        qsat = 0.622 * es / np.maximum(p_full - 0.378 * es, 1.0)
+        # moist where it rains (the storm-track bands below) so the cloud
+        # classification used by wet scavenging sees actual clouds
+        rainband = np.exp(-((np.abs(lat) - 50.0) / 8.0) ** 2)
+        storm = rainband * np.maximum(np.sin(3 * lam - 1.2e-5 * t), 0.0)
+        rh_prof = (0.35 + 0.55 * np.cos(phi)[None] ** 2 + 0.55 * storm[None]) \
+            * np.exp(-zapprox / 9000.0)
+        qvh = np.clip(rh_prof, 0.02, 0.93) * qsat
 
         # winds: subtropical jets at ±45deg peaking near z=10km, plus meander
         jet = np.exp(-((np.abs(lat) - 45.0) / 12.0) ** 2)
@@ -86,13 +96,13 @@ class SyntheticMet:
         ssr = 600.0 * np.maximum(diurnal, 0.0)
         surfstr = 0.08 + 0.12 * (uuh[1] ** 2 + vvh[1] ** 2) / 100.0
 
-        # precip bands along the jet meander trough
-        rainband = np.exp(-((np.abs(lat) - 50.0) / 8.0) ** 2)
-        lsprec = 2.0 * rainband * np.maximum(np.sin(3 * lam - 1.2e-5 * t), 0.0)
+        # precip bands along the jet meander trough (same pattern as the
+        # humidity enhancement above)
+        lsprec = 2.0 * storm
         convprec = 1.0 * np.cos(phi) ** 4 * np.maximum(np.sin(2 * lam + 5e-6 * t), 0.0)
         tcc = np.clip(0.2 + 0.8 * (lsprec + convprec), 0.0, 1.0)
 
-        rh = np.clip(qvh / np.maximum(qs, 1e-9), 0.0, 1.0)
+        rh = np.clip(qvh / np.maximum(qsat, 1e-9), 0.0, 1.0)
         clwch = np.where(rh > 0.85, 2.0e-4 * (rh - 0.85) / 0.15, 0.0) \
             * np.exp(-((zapprox - 4000.0) / 3000.0) ** 2)
 

@@ -22,3 +22,5 @@ def setup_drydep(options_dir, grid, species, lsm, mmdd: int):
                               np.asarray(lsm), inv)
     return build_drydep_tables(species, xlanduse, z0, tables, mmdd,
                                grid.ylat0, grid.dy, grid.ny)
+from .convection import (convect_columns, make_convection_kernel,
+                         nconvlev_from_grid, redist_particles)

@@ -40,6 +40,7 @@ from ..physics import (MassSpecies, WetSpecies, apply_decay_drydep,
                        apply_wetdepo, decay_deposition_grids,
                        make_depokernel, make_vdep_kernel, setup_drydep,
                        wetscav_all)
+from ..physics.convection import make_convection_kernel, redist_particles
 from ..utils.dates import add_seconds
 
 log = logging.getLogger("flexpart_tpu")
@@ -140,6 +141,10 @@ class Simulation:
         self._decay_arr = jnp.asarray([s.decay for s in species],
                                       jnp.float32)
         self._vdep_kernel = None        # built lazily (needs lsm field)
+        self.use_convection = cmd.lconvection == 1
+        if self.use_convection:
+            self.conv_kernel = make_convection_kernel(self.grid)
+            self.cbmf = jnp.zeros(self.grid.ny * self.grid.nx, jnp.float32)
         cc = self.conc_cfg
         self.depo_scatter = make_depokernel(
             cc.nxg, cc.nyg, cc.npointspec, cc.nclassunc, cc.nage,
@@ -187,10 +192,16 @@ class Simulation:
             while len(self._buf) >= 3:
                 oldest = min(self._buf)
                 del self._buf[oldest]
-            self._buf[tsec] = z
+            # convection needs the raw eta-level profiles too
+            # (convmix.f90:168-189)
+            self._buf[tsec] = (z, eta)
             self.timings["getfields"] = self.timings.get(
                 "getfields", 0.0) + _time.perf_counter() - t0
-        return self._buf[tsec]
+        return self._buf[tsec][0]
+
+    def _get_eta(self, tsec: int):
+        self._get_field(tsec)
+        return self._buf[tsec][1]
 
     def _fields_for(self, itime: int):
         wi = self.wind_interval
@@ -253,6 +264,30 @@ class Simulation:
 
             # releases
             self.particles = activate(self.particles, jnp.int32(itime))
+
+            # convective redistribution (timemanager.f90:258-263 ->
+            # convmix/calcmatrix/convect/redist)
+            if self.use_convection:
+                t0c = _time.perf_counter()
+                e0, e1 = self._get_eta(mt0), self._get_eta(mt1)
+                dt1 = float(itime - mt0)
+                dt2 = float(mt1 - itime)
+                dtt = 1.0 / (dt1 + dt2)
+                (fmassfrac, rlevmass, phconv, pconv, tconv, sub, uvzlev,
+                 lconv, nctop, self.cbmf) = self.conv_kernel(
+                    e0.ps, e0.tth, e0.qvh, e0.tt2, e0.td2,
+                    e1.ps, e1.tth, e1.qvh, e1.tt2, e1.td2,
+                    jnp.float32(dt2 * dtt), jnp.float32(dt1 * dtt),
+                    self.cbmf, jnp.float32(abs(cmd.lsynctime)))
+                ckey = jax.random.fold_in(self._key, 1000000 + istep)
+                self.particles, n_moved = redist_particles(
+                    self.particles, ckey, fmassfrac, rlevmass, phconv,
+                    sub, uvzlev, pconv, tconv, lconv,
+                    jnp.int32(cmd.lsynctime), jnp.int32(itime),
+                    nl=self.conv_kernel.nl, nx=self.grid.nx,
+                    ny=self.grid.ny, ldirect=cmd.ldirect)
+                self.timings["convection"] = self.timings.get(
+                    "convection", 0.0) + _time.perf_counter() - t0c
 
             # sampling (timemanager.f90:350-365)
             ld = cmd.ldirect
