@@ -41,6 +41,7 @@ from ..physics import (MassSpecies, WetSpecies, apply_decay_drydep,
                        make_depokernel, make_vdep_kernel, setup_drydep,
                        wetscav_all)
 from ..physics.convection import make_convection_kernel, redist_particles
+from ..physics.ohchem import HourlyOH, make_ohreaction, synthetic_oh_field
 from ..utils.dates import add_seconds
 
 log = logging.getLogger("flexpart_tpu")
@@ -64,6 +65,9 @@ class Simulation:
     write_npz: bool = True
     options_dir: str | None = None   # dir with IGBP/surfdata/surfdepo files
     minmass: float = 1.0e-4          # termination threshold (par_mod.f90)
+    oh_field: Any = None             # physics.ohchem.OHField (or None)
+    checkpoint_at: int | None = None # write a full checkpoint at this itime
+    checkpoint_path: str = "checkpoint.npz"
 
     def __post_init__(self):
         cmd = self.cmd
@@ -141,6 +145,17 @@ class Simulation:
         self._decay_arr = jnp.asarray([s.decay for s in species],
                                       jnp.float32)
         self._vdep_kernel = None        # built lazily (needs lsm field)
+        # OH chemistry is species-activated (readspecies: ohcconst>0)
+        self.any_ohreact = any(s.ohreact for s in species)
+        if self.any_ohreact:
+            if self.oh_field is None:
+                log.warning("OH species present but no OH climatology "
+                            "given; using the synthetic stand-in field")
+                self.oh_field = synthetic_oh_field()
+            self._hourly_oh = HourlyOH(self.oh_field, cmd.bdate,
+                                       cmd.ldirect)
+            self._ohreaction = make_ohreaction(self.oh_field, self.grid,
+                                               species)
         self.use_convection = cmd.lconvection == 1
         if self.use_convection:
             self.conv_kernel = make_convection_kernel(self.grid)
@@ -212,7 +227,7 @@ class Simulation:
         return self._get_field(t0), self._get_field(t1), t0, t1
 
     # ----- main loop -----
-    def run(self, progress: bool = False):
+    def run(self, progress: bool = False, start_itime: int = 0):
         cmd = self.cmd
         lsync = cmd.lsynctime * cmd.ldirect
         ideltas = cmd.ideltas
@@ -226,8 +241,20 @@ class Simulation:
         t_wall0 = _time.perf_counter()
         particle_steps = 0
 
-        for istep in range(nsteps + 1):
+        first_step = abs(start_itime) // abs(lsync)
+        # re-derive the output window state for a mid-run resume (the
+        # output AT start_itime, if due, happens inside the resumed body)
+        while cmd.ldirect * loutend < cmd.ldirect * start_itime \
+                and start_itime != 0:
+            loutnext = loutnext + cmd.loutstep * cmd.ldirect
+            loutstart = loutnext - loutaver // 2
+            loutend = loutnext + loutaver // 2
+        for istep in range(first_step, nsteps + 1):
             itime = istep * lsync
+            if self.checkpoint_at is not None \
+                    and itime == self.checkpoint_at \
+                    and start_itime != itime:
+                self.save_checkpoint(self.checkpoint_path, itime)
             z0, z1, mt0, mt1 = self._fields_for(itime)
 
             # interval since deposited-mass decay reference time
@@ -253,6 +280,18 @@ class Simulation:
                     self.acc = self.acc._replace(
                         wetgridunc=self._scatter_depo(
                             self.acc.wetgridunc, wdep, itime))
+
+            # OH chemistry (timemanager.f90:171,216: gethourlyOH +
+            # ohreaction)
+            if self.any_ohreact and istep > 0:
+                interp_t = itime - lsync // 2
+                zo = z0 if abs(mt0 - interp_t) < abs(mt1 - interp_t) else z1
+                oh0, oh1, to0, to1 = self._hourly_oh.fields_for(itime)
+                temps = self._cell_temps(zo)
+                self.particles = self._ohreaction(
+                    self.particles, oh0, oh1, jnp.int32(to0),
+                    jnp.int32(to1), jnp.int32(itime), temps,
+                    jnp.int32(cmd.lsynctime))
 
             # radioactive decay of deposited mass on the output grids
             # (timemanager.f90:269-304)
@@ -301,6 +340,10 @@ class Simulation:
             # output (timemanager.f90:376-464)
             if itime == loutend and float(self.acc.outnum) > 0:
                 self._write_output(itime)
+                # particle dump cadence (timemanager.f90:453-455)
+                if cmd.ipout == 1 and (abs(itime) // abs(cmd.loutstep)) \
+                        % max(cmd.ipoutfac, 1) == 0:
+                    self._write_partdump(itime, z0, z1, mt0, mt1)
                 loutnext = loutnext + cmd.loutstep * ld
                 loutstart = loutnext - loutaver // 2
                 loutend = loutnext + loutaver // 2
@@ -347,9 +390,47 @@ class Simulation:
             if progress and istep % 10 == 0:
                 log.info("t=%8d s  particles=%8d", itime, n_act)
 
+        if cmd.ipout in (1, 2):
+            z0, z1, mt0, mt1 = self._fields_for(itime)
+            self._write_partdump(itime, z0, z1, mt0, mt1, end=True)
+        self.last_itime = itime
         self.timings["wall"] = _time.perf_counter() - t_wall0
         self.timings["particle_steps"] = particle_steps
         return self.particles
+
+    def _write_partdump(self, itime, z0, z1, mt0, mt1, end=False):
+        from ..io.partdump import particle_diagnostics, write_partposit
+        from ..utils.dates import datestamp
+        dt1 = float(itime - mt0)
+        dt2 = float(mt1 - itime)
+        dtt = 1.0 / max(dt1 + dt2, 1e-9)
+        diag = particle_diagnostics(self.particles, z0, z1,
+                                    jnp.float32(dt2 * dtt),
+                                    jnp.float32(dt1 * dtt))
+        from pathlib import Path
+        name = ("partposit_end" if end else
+                "partposit_" + datestamp(add_seconds(self.cmd.bdate, itime)))
+        write_partposit(Path(self.outdir) / name, itime, self.particles,
+                        self.grid, diag, only_current=not end)
+
+    def save_checkpoint(self, path, itime=None):
+        from ..io.partdump import save_checkpoint
+        save_checkpoint(path, self, itime if itime is not None
+                        else getattr(self, "last_itime", 0))
+
+    def load_checkpoint(self, path) -> int:
+        from ..io.partdump import load_checkpoint
+        return load_checkpoint(path, self)
+
+    def _cell_temps(self, zf):
+        """Cell-center temperature at each particle (ohreaction.f90:139)."""
+        from ..met.fields import F3_TT
+        from ..core.interp import vert_weights
+        p = self.particles
+        ix = jnp.clip(p.x.astype(jnp.int32), 0, self.grid.nx - 1)
+        jy = jnp.clip(p.y.astype(jnp.int32), 0, self.grid.ny - 1)
+        indz, _ = vert_weights(p.z, zf.height)
+        return zf.f3d[F3_TT][indz, jy, ix]
 
     def _scatter_depo(self, grid, deposit, itime):
         """Kernel scatter of per-particle deposits (wet/drydepokernel)."""

@@ -119,3 +119,26 @@ def test_radioactive_decay(tmp_path):
     # 4 h = 2 half-lives -> 25% left (all particles stay airborne)
     expected = 0.25
     assert abs(airborne - expected) < 0.02, airborne
+
+
+def test_oh_chemistry(tmp_path):
+    """CH4-like tracer with OH reaction: mass decreases, daytime rates
+    positive; photolysis lookup matches reference table endpoints."""
+    from flexpart_tpu.physics.ohchem import (photo_o1d, synthetic_oh_field,
+                                             zenith_angle)
+    from datetime import datetime
+    # photo_O1D at table nodes
+    np.testing.assert_allclose(photo_o1d(0.0),
+                               1.45e-2 * np.exp(-0.4) * 0.4616e-2, rtol=1e-5)
+    assert photo_o1d(95.0) == 0.0
+    # zenith angle sanity: subsolar near noon at equator in late March
+    sza = zenith_angle(0.0, 0.0, datetime(2020, 3, 21, 12, 0))
+    assert sza < 10.0
+
+    # strongly reactive gas so 6h shows a visible effect
+    sp = Species(name="REACT", ohcconst=1.0e-11, ohdconst=500.0,
+                 ohnconst=0.0)
+    sim = _depo_sim(tmp_path / "oh", sp, hours=6)
+    airborne = float(jnp.sum(sim.particles.mass))
+    assert airborne < 0.999, airborne
+    assert airborne > 0.2
