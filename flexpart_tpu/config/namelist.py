@@ -96,11 +96,31 @@ def parse_namelist(text: str) -> list[tuple[str, dict[str, Any]]]:
         pending = ""
         if not stmt or "=" not in stmt:
             return
-        key, rhs = stmt.split("=", 1)
-        vals = [_parse_value(v) for v in _split_values(rhs) if v.strip()]
-        if not vals:
-            return
-        cur[key.strip().lower()] = vals[0] if len(vals) == 1 else vals
+        # a statement may hold SEVERAL assignments ("A=1, B=2, C=3,"
+        # on one line is legal namelist syntax); find assignment starts
+        # outside quoted strings and split there
+        starts: list[tuple[int, int, str]] = []
+        for m in re.finditer(r"[A-Za-z_]\w*\s*=", stmt):
+            i = m.start()
+            q = None
+            for ch in stmt[:i]:
+                if q:
+                    if ch == q:
+                        q = None
+                elif ch in "\"'":
+                    q = ch
+            if q is not None:
+                continue
+            if i == 0 or stmt[i - 1] in " ,\t":
+                key = stmt[i:m.end() - 1].strip().rstrip("=").strip()
+                starts.append((i, m.end(), key))
+        for idx, (_, vstart, key) in enumerate(starts):
+            vend = starts[idx + 1][0] if idx + 1 < len(starts) else len(stmt)
+            rhs = stmt[vstart:vend].strip().rstrip(",")
+            vals = [_parse_value(v) for v in _split_values(rhs)
+                    if v.strip()]
+            if vals:
+                cur[key.lower()] = vals[0] if len(vals) == 1 else vals
 
     for raw in text.splitlines():
         line = _strip_comment(raw).strip()
