@@ -31,6 +31,8 @@ from ..core import (StepConfig, StepParams, activate, advance_all,
                     build_release_schedule)
 from ..core.state import Particles
 from ..grid.conccalc import ConcConfig, make_conccalc
+from ..grid.fluxes import FluxConfig, make_calcfluxes, zero_flux
+from ..grid.receptors import build_receptors, sample_receptors
 from ..grid.outgrid import (Accumulators, OutputGridGeometry,
                             zero_accumulators)
 from ..io.writer import OutputWriter
@@ -68,6 +70,7 @@ class Simulation:
     oh_field: Any = None             # physics.ohchem.OHField (or None)
     checkpoint_at: int | None = None # write a full checkpoint at this itime
     checkpoint_path: str = "checkpoint.npz"
+    receptors: tuple = ()            # config.Receptor points
 
     def __post_init__(self):
         cmd = self.cmd
@@ -160,6 +163,33 @@ class Simulation:
         if self.use_convection:
             self.conv_kernel = make_convection_kernel(self.grid)
             self.cbmf = jnp.zeros(self.grid.ny * self.grid.nx, jnp.float32)
+        # receptor sampling (conccalc.f90:430-498)
+        self.receptor_set, self.receptor_names = build_receptors(
+            self.receptors, self.grid)
+        if self.receptor_set is not None:
+            self.creceptor = jnp.zeros(
+                (len(self.receptor_names), self.nspec), jnp.float32)
+        # gross flux diagnostics (iflux=1; calcfluxes.f90)
+        self.use_flux = getattr(cmd, "iflux", 0) == 1
+        if self.use_flux:
+            self.flux_cfg = FluxConfig(
+                nxg=self.geo.nxg, nyg=self.geo.nyg, nzg=self.geo.nzg,
+                npointspec=self.numpoint if cmd.ioutputforeachrelease
+                else 1,
+                nage=nage, dxout=self.outgrid.dxout,
+                dyout=self.outgrid.dyout, xoutshift=self.geo.xoutshift,
+                youtshift=self.geo.youtshift, dx_met=self.grid.dx,
+                dy_met=self.grid.dy, nx_met=self.grid.nx)
+            self.flux = zero_flux(self.flux_cfg, self.nspec)
+            self._calcfluxes = make_calcfluxes(self.outgrid.outheights)
+        # plume-centroid trajectories (iout=4/5; plumetraj.f90)
+        self.use_plumetraj = cmd.iout_eff in (4, 5)
+        if self.use_plumetraj:
+            from ..grid.plumetraj import PlumeTrajWriter
+            from pathlib import Path as _P
+            self._plume_writer = PlumeTrajWriter(
+                _P(self.outdir) / "trajectories.txt", self.releases,
+                cmd.bdate)
         cc = self.conc_cfg
         self.depo_scatter = make_depokernel(
             cc.nxg, cc.nyg, cc.npointspec, cc.nclassunc, cc.nage,
@@ -336,6 +366,11 @@ class Simulation:
                 self.acc = self.conccalc(
                     self.acc, self.particles, z1, jnp.int32(itime),
                     self.lage, jnp.float32(weight), self.conc_cfg)
+                if self.receptor_set is not None:
+                    self.creceptor = sample_receptors(
+                        self.creceptor, self.receptor_set, self.particles,
+                        jnp.int32(itime), jnp.float32(weight),
+                        dx=self.grid.dx, dy=self.grid.dy)
 
             # output (timemanager.f90:376-464)
             if itime == loutend and float(self.acc.outnum) > 0:
@@ -357,6 +392,9 @@ class Simulation:
 
             # advance
             t0 = _time.perf_counter()
+            if self.use_flux:
+                xold, yold, zold = (self.particles.x, self.particles.y,
+                                    self.particles.z)
             key = jax.random.fold_in(self._key, istep)
             self.particles, diag = advance_all(
                 self.particles, z0, z1, jnp.int32(itime),
@@ -366,6 +404,19 @@ class Simulation:
             particle_steps += n_act
             self.timings["advance"] = self.timings.get(
                 "advance", 0.0) + _time.perf_counter() - t0
+
+            # gross fluxes across output faces (timemanager.f90:617-623)
+            if self.use_flux:
+                itage = jnp.abs(jnp.int32(itime + lsync)
+                                - self.particles.itramem)
+                nage_idx = jnp.clip(
+                    jnp.searchsorted(self.lage, itage, side="right"),
+                    0, self.conc_cfg.nage - 1)
+                kp = (self.particles.npoint if cmd.ioutputforeachrelease
+                      else jnp.zeros_like(self.particles.npoint))
+                self.flux = self._calcfluxes(
+                    self.flux, self.particles, xold, yold, zold,
+                    nage_idx, kp, jnp.int32(itime + lsync), self.flux_cfg)
 
             # decay + dry deposition + minmass (timemanager.f90:643-686)
             if self.any_drydep or self.any_decay:
@@ -483,6 +534,33 @@ class Simulation:
 
         when = add_seconds(self.cmd.bdate, itime)
         self.writer.write(when, conc, unc, wet=wet, dry=dry)
+        from ..utils.dates import datestamp
+        from pathlib import Path as _P
+        if self.receptor_set is not None:
+            # receptor concentrations in output units (ng/m3 analog):
+            # 1e12 * mean over samples (receptor_output.f90 analog)
+            rc = np.asarray(self.creceptor) * 1.0e12 / outnum
+            np.savez(_P(self.outdir) / f"receptor_conc_{datestamp(when)}"
+                     ".npz",
+                     conc=rc, names=np.asarray(self.receptor_names))
+            self.creceptor = jnp.zeros_like(self.creceptor)
+        if self.use_flux:
+            # grid_flux output (fluxoutput.f90): per-volume, per-sample
+            np.savez_compressed(
+                _P(self.outdir) / f"grid_flux_{datestamp(when)}.npz",
+                flux=np.asarray(self.flux))
+        if self.use_plumetraj:
+            z0, z1, mt0, mt1 = self._fields_for(itime)
+            from ..io.partdump import particle_diagnostics
+            dt1 = float(itime - mt0)
+            dt2 = float(mt1 - itime)
+            dtt = 1.0 / max(dt1 + dt2, 1e-9)
+            diag = particle_diagnostics(self.particles, z0, z1,
+                                        jnp.float32(dt2 * dtt),
+                                        jnp.float32(dt1 * dtt))
+            from ..grid.plumetraj import plume_step
+            plume_step(self.particles, self.grid, diag, itime,
+                       self.numpoint, self._plume_writer)
         # concentrations reset each output window; deposition grids are
         # CUMULATIVE over the run (concoutput.f90 never zeroes wetgridunc)
         zeroed = zero_accumulators(
