@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from ..constants import D_STRAT, D_TROP, GA, PI180, TURBMESOSCALE
 from ..met.fields import ZFields, F2_HMIX, F2_TROPO, F2_USTAR, F2_WSTAR, F2_OLI, F3_TT, F3_RHO
 from . import rng
+from .cbl import cbl_terms, reinit_wp
 from .hanna import hanna, hanna1
 from .interp import (HorizWeights, horiz_weights, vert_weights, interp_wind,
                      interp_wind_short, interp_2d, hmix_max)
@@ -46,7 +47,9 @@ class StepConfig(NamedTuple):
     turboff: bool = False
     nspec: int = 1
     settling: bool = False
+    cblflag: bool = False       # skewed CBL scheme (cbl.f90); wp is raw m/s
     maxsubsteps: int = 12       # bound for the adaptive-mode while loop
+    mintime: float = 1.0        # minimum adaptive substep [s] (par_mod)
 
 
 class StepParams(NamedTuple):
@@ -130,14 +133,44 @@ def _reflect_pbl(z, delz, h):
 
 
 def _pbl_vertical(cfg: StepConfig, prm: StepParams, z, wp, icbt, h, ust, wst,
-                  ol, rho, drhodz, rnd_w, dt):
+                  ol, rho, drhodz, rnd_w, dt, key=None):
     """The ifine vertical Langevin substeps (advance.f90:396-498).
-    Returns (z, wp, icbt, turb-at-final-z)."""
+    Returns (z, wp, icbt, turb-at-final-z).  With cfg.cblflag, wp is the
+    RAW vertical velocity and the skewed bi-Gaussian drift applies in
+    strongly convective columns (-h/L > 5, advance.f90:405-442)."""
     rhoaux = drhodz / rho
     dtf = dt * prm.fine
     turb = None
+    n = z.shape[0]
     for i in range(cfg.ifine):
-        if cfg.turbswitch:
+        if cfg.cblflag:
+            turb = hanna(z, h, ust, wst, ol)
+            dtftlw = dtf / turb.tlw
+            icbtf = icbt.astype(jnp.float32)
+            cbl_zone = (-h / ol) > 5.0
+            ath_c, bth_c, rein = cbl_terms(
+                wp, z, wst, h, rho, drhodz, turb.sigw, turb.dsigwdz,
+                turb.tlw, ol, cfg.ldirect)
+            wp_c = (wp + ath_c * dtf
+                    + bth_c * rnd_w[i] * jnp.sqrt(dtf)) * icbtf
+            rr = rng.normals(key, (2, n), tag=40 + i)
+            wp_re = reinit_wp(rr[0], rr[1], wp, z, wst, h, turb.sigw,
+                              turb.dsigwdz, ol, cfg.ldirect)
+            wp_c = jnp.where(rein, wp_re, wp_c)
+            # weakly convective: Gaussian drift on the raw velocity
+            # (advance.f90:425-442)
+            sig = jnp.maximum(turb.sigw, 1e-6)
+            ath_g = (-wp / turb.tlw + sig * turb.dsigwdz
+                     + wp * wp / sig * turb.dsigwdz
+                     + sig * sig / rho * drhodz)
+            wp_g = (wp + ath_g * dtf
+                    + sig * rnd_w[i] * jnp.sqrt(2.0 * dtftlw)) * icbtf
+            wp_new = jnp.where(cbl_zone, wp_c, wp_g)
+            # NaN safety net (advance.f90:435-441 nan_count2 redraw)
+            wp_new = jnp.where(jnp.isfinite(wp_new), wp_new,
+                               sig * rnd_w[i])
+            delz = wp_new * dtf
+        elif cfg.turbswitch:
             turb = hanna(z, h, ust, wst, ol)
             dtftlw = dtf / turb.tlw
             # Gaussian branch (advance.f90:446-455); wp normalized by sigw
@@ -164,6 +197,55 @@ def _pbl_vertical(cfg: StepConfig, prm: StepParams, z, wp, icbt, h, ust, wst,
         z, icbt = _reflect_pbl(z, delz, h)
         wp = wp_new
     return z, wp, icbt, turb
+
+
+def _pbl_adaptive(cfg: StepConfig, prm: StepParams, key, z, up, vp, wp,
+                  icbt, h, ust, wst, ol, rho, drhodz, dt_total):
+    """Adaptive per-particle time stepping (method=1;
+    advance.f90:282-609): a bounded masked loop where every particle
+    picks its own substep ldt = ctl-scaled Lagrangian-timescale limit
+    (advance.f90:504-510); the final iteration completes whatever time
+    remains so the interval is always exactly covered.  Horizontal wind
+    stays frozen at the interval-start interpolation (the reference
+    interpolates profiles once per interval too, advance.f90:295-332).
+    Returns (up, vp, z, wp, icbt, dawsave, dcwsave)."""
+    n = z.shape[0]
+    remaining = jnp.broadcast_to(dt_total, z.shape)
+    daw = jnp.zeros_like(z)
+    dcw = jnp.zeros_like(z)
+    for k in range(cfg.maxsubsteps):
+        kk = jax.random.fold_in(key, 7000 + k)
+        turb = hanna(z, h, ust, wst, ol) if cfg.turbswitch \
+            else hanna1(z, h, ust, wst, ol)
+        wp_raw = wp if (cfg.cblflag or not cfg.turbswitch) \
+            else wp * turb.sigw
+        ldt = jnp.minimum(
+            jnp.minimum(turb.tlw,
+                        h / jnp.maximum(2.0 * jnp.abs(wp_raw), 1e-5)),
+            0.5 / jnp.maximum(jnp.abs(turb.dsigwdz), 1e-10)) * prm.ctl
+        if k == cfg.maxsubsteps - 1:
+            dt_i = remaining
+        else:
+            dt_i = jnp.clip(jnp.maximum(ldt, cfg.mintime), None, remaining)
+        act = remaining > 0.0
+        dt_i = jnp.where(act, dt_i, 0.0)
+        rnd_h = rng.normals(kk, (2, n), tag=1)
+        up2 = _ou_update(up, rnd_h[0], turb.sigu,
+                         dt_i / turb.tlu)
+        vp2 = _ou_update(vp, rnd_h[1], turb.sigv, dt_i / turb.tlv)
+        up = jnp.where(act, up2, up)
+        vp = jnp.where(act, vp2, vp)
+        daw = daw + up * dt_i
+        dcw = dcw + vp * dt_i
+        rnd_w = rng.normals(kk, (cfg.ifine, n), tag=2)
+        z2, wp2, icbt2, _ = _pbl_vertical(cfg, prm, z, wp, icbt, h, ust,
+                                          wst, ol, rho, drhodz, rnd_w,
+                                          dt_i, key=kk)
+        z = jnp.where(act, z2, z)
+        wp = jnp.where(act, wp2, wp)
+        icbt = jnp.where(act, icbt2, icbt).astype(jnp.int8)
+        remaining = jnp.maximum(remaining - dt_i, 0.0)
+    return up, vp, z, wp, icbt, daw, dcw
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -209,16 +291,30 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     rnd_h = rng.normals(key, (2, n), tag=1)
     rnd_w = rng.normals(key, (cfg.ifine, n), tag=2)
 
-    turb0 = hanna(z, h, ust, wst, ol) if cfg.turbswitch else hanna1(z, h, ust, wst, ol)
-    up_pbl = _ou_update(p.up, rnd_h[0], turb0.sigu, dt / turb0.tlu)
-    vp_pbl = _ou_update(p.vp, rnd_h[1], turb0.sigv, dt / turb0.tlv)
-    if cfg.turboff:
-        up_pbl = jnp.zeros_like(up_pbl)
-        vp_pbl = jnp.zeros_like(vp_pbl)
+    if cfg.method == 1:
+        (up_pbl, vp_pbl, z_pbl, wp_pbl, icbt, daw_pbl,
+         dcw_pbl) = _pbl_adaptive(
+            cfg, prm, key, z, p.up, p.vp, p.wp, p.cbt, h, ust, wst, ol,
+            wind.rho, wind.drhodz, dt)
+        if cfg.turboff:
+            up_pbl = jnp.zeros_like(up_pbl)
+            vp_pbl = jnp.zeros_like(vp_pbl)
+            daw_pbl = jnp.zeros_like(daw_pbl)
+            dcw_pbl = jnp.zeros_like(dcw_pbl)
+    else:
+        turb0 = hanna(z, h, ust, wst, ol) if cfg.turbswitch \
+            else hanna1(z, h, ust, wst, ol)
+        up_pbl = _ou_update(p.up, rnd_h[0], turb0.sigu, dt / turb0.tlu)
+        vp_pbl = _ou_update(p.vp, rnd_h[1], turb0.sigv, dt / turb0.tlv)
+        if cfg.turboff:
+            up_pbl = jnp.zeros_like(up_pbl)
+            vp_pbl = jnp.zeros_like(vp_pbl)
 
-    z_pbl, wp_pbl, icbt, _ = _pbl_vertical(
-        cfg, prm, z, p.wp, p.cbt, h, ust, wst, ol, wind.rho, wind.drhodz,
-        rnd_w, dt)
+        z_pbl, wp_pbl, icbt, _ = _pbl_vertical(
+            cfg, prm, z, p.wp, p.cbt, h, ust, wst, ol, wind.rho,
+            wind.drhodz, rnd_w, dt, key=key)
+        daw_pbl = up_pbl * dt
+        dcw_pbl = vp_pbl * dt
 
     # settling velocity (advance.f90:518-531)
     if cfg.settling:
@@ -240,8 +336,6 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     ldirf = jnp.float32(cfg.ldirect)
     dxs_pbl = u * dt
     dys_pbl = v * dt
-    daw_pbl = up_pbl * dt
-    dcw_pbl = vp_pbl * dt
     z_pbl = z_pbl + w_eff * dt * ldirf
     z_pbl = jnp.minimum(z_pbl, height[-1] - 1e-3)
     z_pbl = jnp.where(z_pbl < 0.0, jnp.minimum(h - 1e-9, -z_pbl), z_pbl)

@@ -9,5 +9,6 @@ producing a ZFields; two ZFields are double-buffered in device memory.
 from .grid import MetGrid, hybrid_coefficients
 from .fields import EtaFields, ZFields, zeros_zfields
 from .verttransform import process_eta, compute_heights
+from .calcpv import calcpv
 from .calcpar import calcpar
 from .synthetic import SyntheticMet, make_grid, uniform_wind_met

@@ -36,7 +36,7 @@ from ..grid.receptors import build_receptors, sample_receptors
 from ..grid.outgrid import (Accumulators, OutputGridGeometry,
                             zero_accumulators)
 from ..io.writer import OutputWriter
-from ..met import calcpar, compute_heights, process_eta
+from ..met import calcpar, calcpv, compute_heights, process_eta
 from ..met.grid import MetGrid
 from ..physics import (MassSpecies, WetSpecies, apply_decay_drydep,
                        apply_wetdepo, decay_deposition_grids,
@@ -86,7 +86,7 @@ class Simulation:
             xglobal=self.grid.xglobal,
             ldirect=cmd.ldirect,
             turbswitch=cmd.turbswitch, ifine=cmd.ifine_eff,
-            method=cmd.method,
+            method=cmd.method, cblflag=cmd.cblflag == 1,
             nspec=self.nspec,
             settling=sc is not None and sp0.density > 0.0,
         )
@@ -114,9 +114,14 @@ class Simulation:
         self.lage = jnp.asarray(
             np.asarray(self.ageclasses.lage or (999999999,), np.int32))
 
-        self.particles: Particles = build_release_schedule(
-            self.releases, cmd, self.grid, capacity=self.capacity,
-            nclassunc=self.nclassunc, seed=self.seed)
+        if getattr(cmd, "mdomainfill", 0) >= 1:
+            # filled from the first wind field at run() start
+            # (init_domainfill.f90)
+            self.particles = None
+        else:
+            self.particles = build_release_schedule(
+                self.releases, cmd, self.grid, capacity=self.capacity,
+                nclassunc=self.nclassunc, seed=self.seed)
         self.acc: Accumulators = zero_accumulators(
             self.geo, self.nspec, self.conc_cfg.npointspec,
             self.nclassunc, nage)
@@ -228,7 +233,8 @@ class Simulation:
             if self._height is None:
                 self._height = compute_heights(self.grid, eta)
             self._ensure_vdep_kernel(eta)
-            z = process_eta(self.grid, eta, self._height,
+            pvh = calcpv(self.grid, eta)
+            z = process_eta(self.grid, eta, self._height, pvh=pvh,
                             use_clwc=self.use_clwc)
             z = calcpar(self.grid, eta, z,
                         lsubgrid=bool(self.cmd.lsubgrid),
@@ -270,6 +276,18 @@ class Simulation:
         nsteps = abs(ideltas) // abs(lsync)
         t_wall0 = _time.perf_counter()
         particle_steps = 0
+
+        if self.particles is None:
+            from ..core.domainfill import init_domainfill
+            zf = self._get_field(0)
+            npart_target = self.releases.boxes[0].parts
+            self.particles, self.airmass_total = init_domainfill(
+                self.grid, zf, npart_target,
+                mdomainfill=cmd.mdomainfill, nclassunc=self.nclassunc,
+                seed=self.seed, capacity=self.capacity)
+            log.info("domain-filling: %d particles, total air mass "
+                     "%.3e kg", self.particles.capacity,
+                     self.airmass_total)
 
         first_step = abs(start_itime) // abs(lsync)
         # re-derive the output window state for a mid-run resume (the

@@ -195,3 +195,64 @@ def test_release_schedule_and_activation():
     assert int(jnp.sum(p.active)) == 25
     p = activate(p, jnp.int32(900))
     assert int(jnp.sum(p.active)) == 50
+
+
+def test_well_mixed_adaptive_mode(uniform_setup):
+    """Adaptive per-particle time stepping (method=1, ctl=5) must also
+    preserve a well-mixed PBL distribution."""
+    grid, z0, height = uniform_setup
+    cfg, prm = make_cfg(grid, lsynctime=900, turboff=False,
+                        turbswitch=True, method=1, ifine=2, maxsubsteps=6)
+    prm = prm._replace(ctl=jnp.float32(5.0), fine=jnp.float32(0.5))
+    n = 4000
+    key = jax.random.PRNGKey(17)
+    from flexpart_tpu.met.fields import F2_HMIX
+    hmix = float(np.asarray(z0.f2d[F2_HMIX])[15, 20])
+    z_init = jax.random.uniform(key, (n,)) * hmix
+    p = empty_particles(n)
+    p = p._replace(
+        x_hi=jnp.full(n, 20.0), y_hi=jnp.full(n, 15.0), z=z_init,
+        active=jnp.ones(n, bool), itra=jnp.zeros(n, jnp.int32),
+    )
+    itime = 0
+    for step in range(12):
+        p, _ = advance_all(p, z0, z0, jnp.int32(itime), jnp.int32(0),
+                           jnp.int32(86400), jax.random.fold_in(key, step),
+                           cfg, prm)
+        itime += 900
+    zeta = np.asarray(p.z)[np.asarray(p.active)] / hmix
+    zeta = zeta[zeta <= 1.0]
+    counts, _ = np.histogram(zeta, bins=4, range=(0, 1))
+    frac = counts / counts.sum()
+    assert np.all(np.abs(frac - 0.25) < 0.07), frac
+
+
+def test_cbl_scheme_finite_and_mixing(uniform_setup):
+    """CBLFLAG=1 (skewed bi-Gaussian, raw-velocity wp): particles stay
+    finite, inside [0, ~h], and spread through the layer."""
+    grid, z0, height = uniform_setup
+    cfg, prm = make_cfg(grid, lsynctime=900, turboff=False,
+                        turbswitch=True, method=1, ifine=4,
+                        cblflag=True, maxsubsteps=4)
+    prm = prm._replace(ctl=jnp.float32(5.0), fine=jnp.float32(0.25))
+    n = 2000
+    key = jax.random.PRNGKey(23)
+    from flexpart_tpu.met.fields import F2_HMIX
+    hmix = float(np.asarray(z0.f2d[F2_HMIX])[15, 20])
+    p = empty_particles(n)
+    p = p._replace(
+        x_hi=jnp.full(n, 20.0), y_hi=jnp.full(n, 15.0),
+        z=jnp.full(n, 0.3 * hmix),
+        active=jnp.ones(n, bool), itra=jnp.zeros(n, jnp.int32),
+    )
+    itime = 0
+    for step in range(8):
+        p, _ = advance_all(p, z0, z0, jnp.int32(itime), jnp.int32(0),
+                           jnp.int32(86400), jax.random.fold_in(key, step),
+                           cfg, prm)
+        itime += 900
+    zf = np.asarray(p.z)
+    assert np.all(np.isfinite(zf))
+    assert zf.min() >= 0.0
+    act = np.asarray(p.active)
+    assert np.std(zf[act]) > 20.0

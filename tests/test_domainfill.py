@@ -1,0 +1,59 @@
+"""Domain-filling mode: air-mass-proportional fill, STE tracer."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flexpart_tpu.config import Command, OutGrid, ReleaseBox, Releases, Species
+from flexpart_tpu.met import SyntheticMet, make_grid
+from flexpart_tpu.run.simulation import Simulation
+
+
+def _dfsim(tmp, mdomainfill=1, parts=20000, hours=2):
+    grid = make_grid(nx=73, ny=37, nlev=20, dx=5.0, dy=5.0)   # global
+    cmd = Command(ibdate=20200101, ibtime=0, iedate=20200101,
+                  ietime=hours * 10000, lsynctime=900, loutstep=3600,
+                  loutaver=3600, loutsample=900, lconvection=0,
+                  mdomainfill=mdomainfill)
+    box = ReleaseBox(idate1=20200101, itime1=0, idate2=20200101, itime2=0,
+                     lon1=-180.0, lon2=180.0, lat1=-90.0, lat2=90.0,
+                     z1=0.0, z2=50000.0, mass=(1.0,), parts=parts)
+    rel = Releases(species=(Species(),), boxes=(box,))
+    og = OutGrid(outlon0=-180.0, outlat0=-90.0, numxgrid=72, numygrid=36,
+                 dxout=5.0, dyout=5.0, outheights=(2000.0, 10000.0, 50000.0))
+    return Simulation(cmd=cmd, releases=rel, grid=grid,
+                      met_backend=SyntheticMet(grid), outgrid=og,
+                      outdir=str(tmp), write_netcdf=False, write_npz=False,
+                      seed=13)
+
+
+def test_domainfill_air_mass(tmp_path):
+    sim = _dfsim(tmp_path / "a")
+    sim.run()
+    n = sim.particles.capacity
+    assert abs(n - 20000) < 2000          # ~target count
+    # total particle mass = total atmospheric mass in the domain
+    total = float(jnp.sum(sim.particles.mass))
+    np.testing.assert_allclose(total, sim.airmass_total, rtol=1e-3)
+    # Earth's atmosphere ~5.1e18 kg
+    assert 3.0e18 < sim.airmass_total < 7.0e18
+    # particles survive advection, mass conserved (air is not removed)
+    act = np.asarray(sim.particles.active)
+    assert act.mean() > 0.98
+    # air stays well distributed: no hemisphere drains in 2 hours
+    y = np.asarray(sim.particles.y)[act]
+    frac_nh = (y > 18.0).mean()
+    assert 0.3 < frac_nh < 0.7
+
+
+def test_domainfill_stratospheric_ozone(tmp_path):
+    """MDOMAINFILL=2: only stratospheric (|PV|>2, z>3km) particles."""
+    sim = _dfsim(tmp_path / "o", mdomainfill=2, parts=20000)
+    sim.run()
+    act = np.asarray(sim.particles.active)
+    assert act.sum() > 500                # some stratospheric air exists
+    z = np.asarray(sim.particles.z)[act]
+    assert np.percentile(z, 5) > 2500.0   # all started above 3 km
+    # ozone-proxy masses are tiny compared to air masses
+    m = np.asarray(sim.particles.mass)[act]
+    assert m.max() < 1e12
