@@ -27,8 +27,9 @@ from ..met.fields import ZFields, F2_HMIX, F2_TROPO, F2_USTAR, F2_WSTAR, F2_OLI,
 from . import rng
 from .cbl import cbl_terms, reinit_wp
 from .hanna import hanna, hanna1
-from .interp import (HorizWeights, horiz_weights, vert_weights, interp_wind,
-                     interp_wind_short, interp_2d, hmix_max)
+from .interp import (HorizWeights, blend_wind_stack, horiz_weights,
+                     vert_weights, interp_wind_blended,
+                     interp_wind_short_blended, interp_2d, hmix_max)
 from .state import Particles, ds_add
 
 
@@ -274,14 +275,16 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     h = jnp.maximum(hmix_max(z0, z1, hw, F2_HMIX), 1.0)
     tropop = interp_2d(z0.f2d, (F2_TROPO,), hw)[0]
 
-    # surface-layer scales, time+space interpolated (interpol_all.f90:76-107)
-    s0 = interp_2d(z0.f2d, (F2_USTAR, F2_WSTAR, F2_OLI), hw)
-    s1 = interp_2d(z1.f2d, (F2_USTAR, F2_WSTAR, F2_OLI), hw)
-    ust, wst, oliaux = (s0 * tw0 + s1 * tw1)
+    # surface-layer scales: blend the grids in time first (linear ops
+    # commute; halves the gather volume), then one spatial interp
+    sidx = jnp.asarray((F2_USTAR, F2_WSTAR, F2_OLI))
+    f2dt = z0.f2d[sidx] * tw0 + z1.f2d[sidx] * tw1
+    ust, wst, oliaux = interp_2d(f2dt, (0, 1, 2), hw)
     ol = jnp.where(oliaux != 0.0, 1.0 / oliaux, 99999.0)
 
     indz, dz1 = vert_weights(z, height)
-    wind = interp_wind(z0, z1, hw, indz, dz1, tw0, tw1)
+    f3dt = blend_wind_stack(z0, z1, tw0, tw1)
+    wind = interp_wind_blended(f3dt, hw, indz, dz1)
     u, v, w = wind.u, wind.v, wind.w
 
     dt = prm.lsynctime
@@ -423,8 +426,8 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     edt1 = (endtime - memtime0).astype(jnp.float32)
     edt2 = (memtime1 - endtime).astype(jnp.float32)
     edtt = 1.0 / jnp.maximum(edt1 + edt2, 1e-6)
-    u2, v2, w2 = interp_wind_short(z0, z1, hw2, indz2, dz1_2,
-                                   edt2 * edtt, edt1 * edtt)
+    f3dt_end = blend_wind_stack(z0, z1, edt2 * edtt, edt1 * edtt)[:3]
+    u2, v2, w2 = interp_wind_short_blended(f3dt_end, hw2, indz2, dz1_2)
     w2 = w2 + settling
     du = (u2 - u) / 2.0
     dv = (v2 - v) / 2.0

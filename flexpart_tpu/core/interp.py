@@ -141,6 +141,45 @@ def interp_wind_short(z0: ZFields, z1: ZFields, hw: HorizWeights, indz, dz1,
     return val[0], val[1], val[2]
 
 
+def blend_wind_stack(z0: ZFields, z1: ZFields, tw0, tw1):
+    """Pre-interpolate the hot 3-D fields to the current time ON THE
+    GRID: spatial and temporal interpolation are both linear so they
+    commute, and the per-particle gather volume halves (one time level
+    instead of two).  Cost is one fused elementwise pass over the grid —
+    negligible next to millions of random gathers."""
+    idx = jnp.asarray(_WIND_FIELDS)
+    return z0.f3d[idx] * tw0 + z1.f3d[idx] * tw1         # (5, nz, ny, nx)
+
+
+def interp_wind_blended(f3dt, hw: HorizWeights, indz, dz1) -> WindInterp:
+    """interp_wind on a pre-time-blended stack.  The mesoscale wind
+    stddev uses the 4 corner samples per level of the blended field
+    (variance/3) instead of the reference's 4x2-time samples — the
+    spatial part dominates and temporal smoothing only slightly lowers
+    the heuristic mesoscale amplitude (turbmesoscale=0.16 scaling)."""
+    c = gather_corners_3d(f3dt, (0, 1, 2, 3, 4), hw, indz)  # (5,2,N,4)
+    lev = jnp.einsum("flnc,nc->fln", c, hw.p4)
+    val = lev[:, 0] * (1.0 - dz1) + lev[:, 1] * dz1
+    uvw = c[:3]
+    sl = jnp.sum(uvw, axis=-1)                              # (3,2,N)
+    sq = jnp.sum(uvw ** 2, axis=-1)
+    var = sq - sl * sl / 4.0
+    sig_lev = jnp.where(var < 1.0e-30, 0.0,
+                        jnp.sqrt(jnp.maximum(var, 0.0) / 3.0))
+    sig = 0.5 * (sig_lev[:, 0] + sig_lev[:, 1])
+    return WindInterp(u=val[0], v=val[1], w=val[2], rho=val[3],
+                      drhodz=val[4], usig=sig[0], vsig=sig[1],
+                      wsig=sig[2])
+
+
+def interp_wind_short_blended(f3dt, hw: HorizWeights, indz, dz1):
+    """Petterssen-corrector wind from a pre-blended (end-time) stack."""
+    c = gather_corners_3d(f3dt, (0, 1, 2), hw, indz)
+    lev = jnp.einsum("flnc,nc->fln", c, hw.p4)
+    val = lev[:, 0] * (1.0 - dz1) + lev[:, 1] * dz1
+    return val[0], val[1], val[2]
+
+
 def hmix_max(z0: ZFields, z1: ZFields, hw: HorizWeights, f2_hmix: int):
     """Max mixing height over the 4 surrounding points and both time levels
     (advance.f90:236-252)."""
