@@ -51,6 +51,8 @@ class StepConfig(NamedTuple):
     cblflag: bool = False       # skewed CBL scheme (cbl.f90); wp is raw m/s
     maxsubsteps: int = 12       # bound for the adaptive-mode while loop
     mintime: float = 1.0        # minimum adaptive substep [s] (par_mod)
+    nest_nx: int = 0            # nested met grid shape (0 = no nest)
+    nest_ny: int = 0
 
 
 class StepParams(NamedTuple):
@@ -69,16 +71,26 @@ class StepParams(NamedTuple):
     sp_dquer: jnp.ndarray       # [um]
     sp_cunningham: jnp.ndarray
     sp_vsetaver: jnp.ndarray
+    # nested met grid window in mother-grid units (com_mod xln/xrn...)
+    xln: jnp.ndarray
+    yln: jnp.ndarray
+    xrn: jnp.ndarray
+    yrn: jnp.ndarray
+    xresoln: jnp.ndarray        # mother dx / nest dx
+    yresoln: jnp.ndarray
 
     @classmethod
     def make(cls, dx, dy, ylat0, dxconst, dyconst, lsynctime, fine,
              ctl=-5.0, lwindinterv=3600, sp_density=-1.0, sp_dquer=0.0,
-             sp_cunningham=0.0, sp_vsetaver=0.0):
+             sp_cunningham=0.0, sp_vsetaver=0.0,
+             xln=0.0, yln=0.0, xrn=0.0, yrn=0.0,
+             xresoln=1.0, yresoln=1.0):
         f = jnp.float32
         return cls(f(dx), f(dy), f(ylat0), f(dxconst), f(dyconst),
                    f(abs(lsynctime)), f(fine), f(ctl), f(lwindinterv),
                    f(sp_density), f(sp_dquer), f(sp_cunningham),
-                   f(sp_vsetaver))
+                   f(sp_vsetaver), f(xln), f(yln), f(xrn), f(yrn),
+                   f(xresoln), f(yresoln))
 
 
 class StepDiag(NamedTuple):
@@ -249,10 +261,28 @@ def _pbl_adaptive(cfg: StepConfig, prm: StepParams, key, z, up, vp, wp,
     return up, vp, z, wp, icbt, daw, dcw
 
 
+def _sample_met(zA: ZFields, zB: ZFields, tw0, tw1, x, y, z, height,
+                nx: int, ny: int, xglobal: bool):
+    """All met quantities the integrator needs at the particle, from one
+    grid (mother or nest): the interpol_all/interpol_wind family."""
+    hw = horiz_weights(x, y, nx, ny, xglobal)
+    h = jnp.maximum(hmix_max(zA, zB, hw, F2_HMIX), 1.0)
+    tropop = interp_2d(zA.f2d, (F2_TROPO,), hw)[0]
+    sidx = jnp.asarray((F2_USTAR, F2_WSTAR, F2_OLI))
+    f2dt = zA.f2d[sidx] * tw0 + zB.f2d[sidx] * tw1
+    ust, wst, oliaux = interp_2d(f2dt, (0, 1, 2), hw)
+    ol = jnp.where(oliaux != 0.0, 1.0 / oliaux, 99999.0)
+    indz, dz1 = vert_weights(z, height)
+    f3dt = blend_wind_stack(zA, zB, tw0, tw1)
+    wind = interp_wind_blended(f3dt, hw, indz, dz1)
+    return hw, indz, dz1, h, tropop, ust, wst, ol, wind
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def advance_all(p: Particles, z0: ZFields, z1: ZFields,
                 itime, memtime0, memtime1, key,
-                cfg: StepConfig, prm: StepParams):
+                cfg: StepConfig, prm: StepParams,
+                z0n: ZFields | None = None, z1n: ZFields | None = None):
     """Advance every scheduled particle by one lsynctime interval.
 
     Returns (particles, diag).  Terminated-by-domain-exit particles get
@@ -269,22 +299,31 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     y = p.y
     z = p.z
     height = z0.height
-    hw = horiz_weights(x, y, cfg.nx, cfg.ny, cfg.xglobal)
+    (hw, indz, dz1, h, tropop, ust, wst, ol,
+     wind) = _sample_met(z0, z1, tw0, tw1, x, y, z, height,
+                         cfg.nx, cfg.ny, cfg.xglobal)
 
-    # mixing height: max over 4 corners and both times (advance.f90:236-252)
-    h = jnp.maximum(hmix_max(z0, z1, hw, F2_HMIX), 1.0)
-    tropop = interp_2d(z0.f2d, (F2_TROPO,), hw)[0]
-
-    # surface-layer scales: blend the grids in time first (linear ops
-    # commute; halves the gather volume), then one spatial interp
-    sidx = jnp.asarray((F2_USTAR, F2_WSTAR, F2_OLI))
-    f2dt = z0.f2d[sidx] * tw0 + z1.f2d[sidx] * tw1
-    ust, wst, oliaux = interp_2d(f2dt, (0, 1, 2), hw)
-    ol = jnp.where(oliaux != 0.0, 1.0 / oliaux, 99999.0)
-
-    indz, dz1 = vert_weights(z, height)
-    f3dt = blend_wind_stack(z0, z1, tw0, tw1)
-    wind = interp_wind_blended(f3dt, hw, indz, dz1)
+    # nested met fields: recompute for particles inside the nest window
+    # and select (advance.f90:161-175 nest branch; the reference picks
+    # the innermost nest per particle — here one nest level)
+    if cfg.nest_nx:
+        eps_n = jnp.float32(cfg.nx / 3.0e5)
+        in_nest = ((x > prm.xln + eps_n) & (x < prm.xrn - eps_n)
+                   & (y > prm.yln + eps_n) & (y < prm.yrn - eps_n))
+        xtn = (x - prm.xln) * prm.xresoln
+        ytn = (y - prm.yln) * prm.yresoln
+        xtn = jnp.clip(xtn, 0.0, cfg.nest_nx - 1.001)
+        ytn = jnp.clip(ytn, 0.0, cfg.nest_ny - 1.001)
+        (_, indz_n, dz1_n, h_n, trop_n, ust_n, wst_n, ol_n,
+         wind_n) = _sample_met(z0n, z1n, tw0, tw1, xtn, ytn, z, height,
+                               cfg.nest_nx, cfg.nest_ny, False)
+        sel_n = lambda a, b: jnp.where(in_nest, a, b)
+        h = sel_n(h_n, h)
+        tropop = sel_n(trop_n, tropop)
+        ust = sel_n(ust_n, ust)
+        wst = sel_n(wst_n, wst)
+        ol = sel_n(ol_n, ol)
+        wind = type(wind)(*[sel_n(a, b) for a, b in zip(wind_n, wind)])
     u, v, w = wind.u, wind.v, wind.w
 
     dt = prm.lsynctime
@@ -428,6 +467,21 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     edtt = 1.0 / jnp.maximum(edt1 + edt2, 1e-6)
     f3dt_end = blend_wind_stack(z0, z1, edt2 * edtt, edt1 * edtt)[:3]
     u2, v2, w2 = interp_wind_short_blended(f3dt_end, hw2, indz2, dz1_2)
+    if cfg.nest_nx:
+        in_nest2 = ((xn > prm.xln + eps_n) & (xn < prm.xrn - eps_n)
+                    & (yn > prm.yln + eps_n) & (yn < prm.yrn - eps_n))
+        xtn2 = jnp.clip((xn - prm.xln) * prm.xresoln, 0.0,
+                        cfg.nest_nx - 1.001)
+        ytn2 = jnp.clip((yn - prm.yln) * prm.yresoln, 0.0,
+                        cfg.nest_ny - 1.001)
+        hw2n = horiz_weights(xtn2, ytn2, cfg.nest_nx, cfg.nest_ny, False)
+        f3dt_end_n = blend_wind_stack(z0n, z1n, edt2 * edtt,
+                                      edt1 * edtt)[:3]
+        u2n, v2n, w2n = interp_wind_short_blended(f3dt_end_n, hw2n,
+                                                  indz2, dz1_2)
+        u2 = jnp.where(in_nest2, u2n, u2)
+        v2 = jnp.where(in_nest2, v2n, v2)
+        w2 = jnp.where(in_nest2, w2n, w2)
     w2 = w2 + settling
     du = (u2 - u) / 2.0
     dv = (v2 - v) / 2.0
@@ -479,7 +533,9 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
 @functools.partial(jax.jit, static_argnames=("cfg", "n_chunks"))
 def advance_chunked(p: Particles, z0: ZFields, z1: ZFields,
                     itime, memtime0, memtime1, key,
-                    cfg: StepConfig, prm: StepParams, n_chunks: int):
+                    cfg: StepConfig, prm: StepParams, n_chunks: int,
+                    z0n: ZFields | None = None,
+                    z1n: ZFields | None = None):
     """advance_all over particle chunks via lax.map: bounds the gather
     intermediates (the (F,2,B,4) corner arrays) to one chunk, letting a
     single chip hold 10M+ particles in HBM.  Each chunk folds its index
@@ -494,7 +550,7 @@ def advance_chunked(p: Particles, z0: ZFields, z1: ZFields,
         pi, i = args
         ki = jax.random.fold_in(key, i)
         return advance_all(pi, z0, z1, itime, memtime0, memtime1, ki,
-                           cfg, prm)
+                           cfg, prm, z0n, z1n)
 
     pout, diag = jax.lax.map(body, (pc, jnp.arange(n_chunks)))
     p2 = jax.tree.map(lambda a: a.reshape((n,) + a.shape[2:]), pout)

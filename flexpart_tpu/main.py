@@ -47,9 +47,16 @@ def build_simulation(pathnames: str, met: str = "auto",
         if not entries:
             raise SystemExit(f"AVAILABLE index {pn.available} is empty — "
                              "convert met data or pass --met synthetic")
-        from .met.npzmet import NpzMet
-        backend = NpzMet(metdata=pn.metdata, entries=entries,
-                         bdate=cmd.bdate)
+        first = Path(pn.metdata) / entries[0].filename
+        if str(first).endswith(".npz"):
+            from .met.npzmet import NpzMet
+            backend = NpzMet(metdata=pn.metdata, entries=entries,
+                             bdate=cmd.bdate)
+        else:
+            # GRIB via the native decoder (readwind_ecmwf.f90 analog)
+            from .met.gribmet import GribMet
+            backend = GribMet(metdata=pn.metdata, entries=entries,
+                              bdate=cmd.bdate)
         grid = backend.grid()
         wind_interval = backend.wind_interval
 
@@ -87,9 +94,10 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     sim = build_simulation(args.pathnames, met=args.met,
                            capacity=args.capacity, seed=args.seed)
+    npart = (sim.particles.capacity if sim.particles is not None
+             else -1)   # domain-filling builds particles at run start
     log.info("simulation configured: %d particles, grid %dx%dx%d",
-             sim.particles.capacity, sim.grid.nx, sim.grid.ny,
-             sim.grid.nlev)
+             npart, sim.grid.nx, sim.grid.ny, sim.grid.nlev)
     sim.run(progress=args.verbose > 0)
     wall = time.perf_counter() - t0
     psteps = sim.timings.get("particle_steps", 0)

@@ -71,6 +71,8 @@ class Simulation:
     checkpoint_at: int | None = None # write a full checkpoint at this itime
     checkpoint_path: str = "checkpoint.npz"
     receptors: tuple = ()            # config.Receptor points
+    outgrid_nest: Any = None         # OUTGRID_NEST (nested output grid)
+    met_nests: tuple = ()            # nested met backends (inner last)
 
     def __post_init__(self):
         cmd = self.cmd
@@ -78,6 +80,13 @@ class Simulation:
         self.numpoint = self.releases.numpoint
         self.geo = OutputGridGeometry(self.outgrid, self.grid)
         nage = self.ageclasses.nageclass
+
+        # nested met grids (one nest level in the advance kernel)
+        self.nest_grid = None
+        if self.met_nests:
+            self.nest_grid = self.met_nests[0].grid
+            if len(self.met_nests) > 1:
+                log.warning("only the innermost met nest is used")
 
         sp0 = self.releases.species[0]
         sc = sp0.size_classes()
@@ -87,6 +96,8 @@ class Simulation:
             ldirect=cmd.ldirect,
             turbswitch=cmd.turbswitch, ifine=cmd.ifine_eff,
             method=cmd.method, cblflag=cmd.cblflag == 1,
+            nest_nx=self.nest_grid.nx if self.nest_grid else 0,
+            nest_ny=self.nest_grid.ny if self.nest_grid else 0,
             nspec=self.nspec,
             settling=sc is not None and sp0.density > 0.0,
         )
@@ -99,6 +110,20 @@ class Simulation:
             sp_dquer=sp0.dquer,
             sp_cunningham=sc.cunningham if sc else 0.0,
             sp_vsetaver=sc.vsetaver if sc else 0.0,
+            **(dict(
+                xln=(self.nest_grid.xlon0 - self.grid.xlon0)
+                / self.grid.dx,
+                yln=(self.nest_grid.ylat0 - self.grid.ylat0)
+                / self.grid.dy,
+                xrn=(self.nest_grid.xlon0
+                     + (self.nest_grid.nx - 1) * self.nest_grid.dx
+                     - self.grid.xlon0) / self.grid.dx,
+                yrn=(self.nest_grid.ylat0
+                     + (self.nest_grid.ny - 1) * self.nest_grid.dy
+                     - self.grid.ylat0) / self.grid.dy,
+                xresoln=self.grid.dx / self.nest_grid.dx,
+                yresoln=self.grid.dy / self.nest_grid.dy,
+            ) if self.nest_grid else {}),
         )
         self.conc_cfg = ConcConfig(
             nxg=self.geo.nxg, nyg=self.geo.nyg, nzg=self.geo.nzg,
@@ -111,6 +136,33 @@ class Simulation:
             ioutputforeachrelease=bool(cmd.ioutputforeachrelease),
         )
         self.conccalc = make_conccalc(self.outgrid.outheights)
+        # nested output grid (outgrid_init_nest.f90 / concoutput_nest)
+        self.use_nested_output = self.outgrid_nest is not None
+        if self.use_nested_output:
+            ogn = self.outgrid_nest
+            self.geo_n = OutputGridGeometry(ogn, self.grid)
+            self.conc_cfg_n = ConcConfig(
+                nxg=self.geo_n.nxg, nyg=self.geo_n.nyg, nzg=self.geo_n.nzg,
+                npointspec=self.conc_cfg.npointspec,
+                nclassunc=self.nclassunc, nage=nage,
+                dxout=ogn.dxout, dyout=ogn.dyout,
+                xoutshift=self.geo_n.xoutshift,
+                youtshift=self.geo_n.youtshift,
+                dx_met=self.grid.dx, dy_met=self.grid.dy,
+                ind_samp=cmd.ind_samp,
+                ioutputforeachrelease=bool(cmd.ioutputforeachrelease))
+            self.conccalc_n = make_conccalc(ogn.outheights)
+            self.acc_n = zero_accumulators(
+                self.geo_n, self.nspec, self.conc_cfg.npointspec,
+                self.nclassunc, nage)
+            self.writer_n = OutputWriter(
+                outdir=self.outdir + "/nest",
+                outlon0=ogn.outlon0, outlat0=ogn.outlat0,
+                dxout=ogn.dxout, dyout=ogn.dyout,
+                outheights=ogn.outheights,
+                species_names=tuple(s.name for s in self.releases.species),
+                start=cmd.bdate, iout=cmd.iout_eff,
+                write_netcdf=self.write_netcdf, write_npz=self.write_npz)
         self.lage = jnp.asarray(
             np.asarray(self.ageclasses.lage or (999999999,), np.int32))
 
@@ -243,9 +295,19 @@ class Simulation:
             while len(self._buf) >= 3:
                 oldest = min(self._buf)
                 del self._buf[oldest]
+            # nested met fields, processed onto the SAME height grid
+            # (verttransform_nests.f90 contract)
+            zn = None
+            if self.nest_grid is not None:
+                etan = self.met_nests[0].fetch(float(tsec))
+                pvn = calcpv(self.nest_grid, etan)
+                zn = process_eta(self.nest_grid, etan, self._height,
+                                 pvh=pvn, use_clwc=self.use_clwc)
+                zn = calcpar(self.nest_grid, etan, zn,
+                             lsubgrid=bool(self.cmd.lsubgrid))
             # convection needs the raw eta-level profiles too
             # (convmix.f90:168-189)
-            self._buf[tsec] = (z, eta)
+            self._buf[tsec] = (z, eta, zn)
             self.timings["getfields"] = self.timings.get(
                 "getfields", 0.0) + _time.perf_counter() - t0
         return self._buf[tsec][0]
@@ -253,6 +315,10 @@ class Simulation:
     def _get_eta(self, tsec: int):
         self._get_field(tsec)
         return self._buf[tsec][1]
+
+    def _get_nest(self, tsec: int):
+        self._get_field(tsec)
+        return self._buf[tsec][2]
 
     def _fields_for(self, itime: int):
         wi = self.wind_interval
@@ -384,6 +450,10 @@ class Simulation:
                 self.acc = self.conccalc(
                     self.acc, self.particles, z1, jnp.int32(itime),
                     self.lage, jnp.float32(weight), self.conc_cfg)
+                if self.use_nested_output:
+                    self.acc_n = self.conccalc_n(
+                        self.acc_n, self.particles, z1, jnp.int32(itime),
+                        self.lage, jnp.float32(weight), self.conc_cfg_n)
                 if self.receptor_set is not None:
                     self.creceptor = sample_receptors(
                         self.creceptor, self.receptor_set, self.particles,
@@ -414,10 +484,12 @@ class Simulation:
                 xold, yold, zold = (self.particles.x, self.particles.y,
                                     self.particles.z)
             key = jax.random.fold_in(self._key, istep)
+            z0n = self._get_nest(mt0) if self.nest_grid else None
+            z1n = self._get_nest(mt1) if self.nest_grid else None
             self.particles, diag = advance_all(
                 self.particles, z0, z1, jnp.int32(itime),
                 jnp.int32(mt0), jnp.int32(mt1), key, self.step_cfg,
-                self.step_prm)
+                self.step_prm, z0n, z1n)
             n_act = int(diag.n_active)
             particle_steps += n_act
             self.timings["advance"] = self.timings.get(
@@ -552,6 +624,21 @@ class Simulation:
 
         when = add_seconds(self.cmd.bdate, itime)
         self.writer.write(when, conc, unc, wet=wet, dry=dry)
+        if self.use_nested_output:
+            accn = jax.device_get(self.acc_n)
+            gn = np.asarray(accn.gridunc)
+            tn = gn.sum(axis=1)
+            voln = self.geo_n.volume
+            if self.cmd.ldirect == 1:
+                fac_n = 1.0e12 / voln / outnum
+            else:
+                fac_n = np.full_like(voln, abs(self.cmd.loutaver) / outnum)
+            concn = tn * fac_n[None, None, :, :, :, None]
+            concn = np.moveaxis(concn, -1, 0).transpose(0, 2, 1, 3, 4, 5)
+            self.writer_n.write(when, concn, np.zeros_like(concn))
+            self.acc_n = zero_accumulators(
+                self.geo_n, self.nspec, self.conc_cfg.npointspec,
+                self.nclassunc, self.ageclasses.nageclass)
         from ..utils.dates import datestamp
         from pathlib import Path as _P
         if self.receptor_set is not None:
