@@ -79,12 +79,17 @@ def build_release_schedule(rel: Releases, cmd: Command, grid: MetGrid,
     p = empty_particles(capacity, nspec)
     idx = np.arange(total)
     nclass = rng.integers(0, nclassunc, size=total)
+    # next-split time: release time + ldirect*itsplit
+    # (releaseparticles.f90:187), clipped into i32
+    itrasplit = np.clip(itra + cmd.ldirect * min(cmd.itsplit, 999999999),
+                        -999999998, 999999999)
     return p._replace(
         x_hi=p.x_hi.at[idx].set(xs),
         y_hi=p.y_hi.at[idx].set(ys),
         z=p.z.at[idx].set(zs),
         itra=p.itra.at[idx].set(itra.astype(np.int32)),
         itramem=p.itramem.at[idx].set(itra.astype(np.int32)),
+        itrasplit=p.itrasplit.at[idx].set(itrasplit.astype(np.int32)),
         npoint=p.npoint.at[idx].set(npoint),
         nclass=p.nclass.at[idx].set(nclass.astype(np.int32)),
         mass=p.mass.at[idx].set(mass),

@@ -36,6 +36,7 @@ class Particles(NamedTuple):
     npoint: jnp.ndarray   # (N,) i32 release point index
     nclass: jnp.ndarray   # (N,) i32 uncertainty class 0..nclassunc-1
     idt: jnp.ndarray      # (N,) i32 adaptive time-step memory [s]
+    itrasplit: jnp.ndarray  # (N,) i32 next split time [s] (com_mod.f90:707)
     up: jnp.ndarray       # (N,) f32 turbulent along-wind velocity [m/s]
     vp: jnp.ndarray       # (N,) f32 turbulent cross-wind velocity [m/s]
     wp: jnp.ndarray       # (N,) f32 turbulent w (normalized by sigw if turbswitch)
@@ -71,6 +72,7 @@ def empty_particles(capacity: int, nspec: int = 1) -> Particles:
         x_hi=zf, x_lo=zf, y_hi=zf, y_lo=zf, z=zf,
         itra=jnp.full(capacity, ITRA_INACTIVE, jnp.int32),
         itramem=zi, npoint=zi, nclass=zi, idt=zi,
+        itrasplit=jnp.full(capacity, ITRA_INACTIVE, jnp.int32),
         up=zf, vp=zf, wp=zf, usig=zf, vsig=zf, wsig=zf,
         cbt=jnp.ones(capacity, jnp.int8),
         mass=jnp.zeros((capacity, nspec), jnp.float32),

@@ -467,6 +467,13 @@ class Simulation:
                 if cmd.ipout == 1 and (abs(itime) // abs(cmd.loutstep)) \
                         % max(cmd.ipoutfac, 1) == 0:
                     self._write_partdump(itime, z0, z1, mt0, mt1)
+                # particle splitting at output times once itime passes
+                # itsplit (timemanager.f90:473-504)
+                if cmd.itsplit < abs(ideltas) \
+                        and abs(itime) >= cmd.itsplit:
+                    from ..core import split_particles
+                    self.particles = split_particles(
+                        self.particles, jnp.int32(itime), ldirect=ld)
                 loutnext = loutnext + cmd.loutstep * ld
                 loutstart = loutnext - loutaver // 2
                 loutend = loutnext + loutaver // 2
