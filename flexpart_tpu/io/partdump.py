@@ -27,7 +27,7 @@ import numpy as np
 from ..core.interp import (horiz_weights, interp_2d, vert_weights)
 from ..core.state import ITRA_INACTIVE, Particles, empty_particles
 from ..met.fields import (F2_HMIX, F2_ORO, F2_TROPO, F3_PV, F3_QV, F3_RHO,
-                          F3_TT)
+                          F3_TT, F3_U, F3_V)
 
 
 @jax.jit
@@ -195,3 +195,112 @@ def load_checkpoint(path, sim):
     if "cbmf" in d and getattr(sim, "use_convection", False):
         sim.cbmf = jnp.asarray(d["cbmf"])
     return int(d["itime"])
+
+
+def write_shortposit(path, itime: int, p: Particles, grid, topo,
+                     region=(-140.0, 60.0, 10.0, 90.0)):
+    """Quasilagrangian compressed dump (partoutput_short.f90:95-135):
+    int16-packed (lon*180, lat*360, z+topo) + int32 npoint per particle,
+    for particles inside `region` (the reference hardcodes the extended
+    North Atlantic (-140..60 E, >10 N); parametrized here) with mass>0."""
+    live = np.asarray(p.active) & (np.asarray(p.itra) == itime)
+    lon = grid.xlon0 + np.asarray(p.x) * grid.dx
+    lon = np.where(lon > 180.0, lon - 360.0, lon)
+    lon = np.where(lon < -180.0, lon + 360.0, lon)
+    lat = grid.ylat0 + np.asarray(p.y) * grid.dy
+    topo = np.asarray(topo)
+    x1, x2, y1, y2 = region
+    sel = (live & (lon > x1) & (lon < x2) & (lat > y1) & (lat < y2)
+           & (np.asarray(p.mass[:, 0]) > 0.0))
+    idx = np.nonzero(sel)[0]
+    n = len(idx)
+    i2 = np.empty((n, 3), "<i2")
+    i2[:, 0] = np.rint(lon[idx] * 180.0)
+    i2[:, 1] = np.rint(lat[idx] * 360.0)
+    i2[:, 2] = np.rint(np.minimum(np.asarray(p.z)[idx] + topo[idx],
+                                  32766.0))
+    i4 = (np.asarray(p.npoint)[idx] + 1).astype("<i4")
+
+    def rec(payload: bytes) -> bytes:
+        return struct.pack("<i", len(payload)) + payload \
+            + struct.pack("<i", len(payload))
+
+    # third record interleaves (i4, 3xi2) per particle (one write stmt)
+    body = b"".join(i4[k].tobytes() + i2[k].tobytes() for k in range(n))
+    with open(path, "wb") as f:
+        f.write(rec(struct.pack("<i", int(itime))))
+        f.write(rec(struct.pack("<i", n)))
+        f.write(rec(body))
+
+
+@jax.jit
+def averaging_sample(p: Particles, z0, z1, tw0, tw1, dx, dy, xlon0, ylat0):
+    """One accumulation step for ipout=3 time-averaged particle output
+    (partpos_average.f90): returns the (13, N) per-particle sample
+    [cartx, carty, cartz, z, topo, pv, qv, tt, uu, vv, rho, tropo, hmix]
+    (positions averaged on the Cartesian unit sphere so means don't wrap
+    through the dateline) and the live mask."""
+    ny, nx = z0.f2d.shape[1], z0.f2d.shape[2]
+    hw = horiz_weights(p.x, p.y, nx, ny, False)
+    f2_0 = interp_2d(z0.f2d, (F2_ORO, F2_HMIX, F2_TROPO), hw)
+    f2_1 = interp_2d(z1.f2d, (F2_ORO, F2_HMIX, F2_TROPO), hw)
+    topo, hmix, tropo = f2_0 * tw0 + f2_1 * tw1
+    indz, dz1 = vert_weights(p.z, z0.height)
+
+    def interp3(zf, fid):
+        flat = zf.f3d[fid].reshape(zf.f3d.shape[1], -1)
+        lo = jnp.einsum("nc,nc->n", flat[indz[:, None], hw.idx4], hw.p4)
+        hi = jnp.einsum("nc,nc->n", flat[indz[:, None] + 1, hw.idx4],
+                        hw.p4)
+        return lo * (1.0 - dz1) + hi * dz1
+
+    def t3(fid):
+        return interp3(z0, fid) * tw0 + interp3(z1, fid) * tw1
+
+    pv, qv, tt, uu, vv, rho = (t3(f) for f in
+                               (F3_PV, F3_QV, F3_TT, F3_U, F3_V, F3_RHO))
+    lon = (xlon0 + p.x * dx) * jnp.pi / 180.0
+    lat = (ylat0 + p.y * dy) * jnp.pi / 180.0
+    cosla = jnp.cos(lat)
+    cartx, carty, cartz = (cosla * jnp.sin(lon), -cosla * jnp.cos(lon),
+                           jnp.sin(lat))
+    sample = jnp.stack([cartx, carty, cartz, p.z, topo, pv, qv, tt,
+                        uu, vv, rho, tropo, hmix])
+    return sample, p.active
+
+
+def write_partposit_average(path, itime: int, p: Particles, sums,
+                            counts):
+    """ipout=3 compressed averaged dump (partoutput_average.f90:61-198):
+    24-byte direct-access records, one per particle slot, of 12 int16:
+    lon*180, lat*360, 2z-32000, 2topo-32000, 2tropo-32000, 2hmix-32000,
+    20000rho-32000, 1e6qv-32000, 100pv, 300(T-273.15), 200u, 200v."""
+    sums = np.asarray(sums)
+    counts = np.maximum(np.asarray(counts, np.float32), 1.0)
+    avg = sums / counts
+    live = np.asarray(p.active) & (np.asarray(p.itra) == itime)
+    (cartx, carty, cartz, z, topo, pv, qv, tt, uu, vv, rho, tropo,
+     hmix) = avg
+    lon = np.degrees(np.arctan2(cartx, -carty))
+    lat = np.degrees(np.arctan2(cartz, np.hypot(cartx, carty)))
+    lon = np.where(lon > 180.0, lon - 360.0, lon)
+    lon = np.where(lon < -180.0, lon + 360.0, lon)
+
+    def clip16(v):
+        return np.clip(np.rint(v), -32766, 32766).astype("<i2")
+
+    recs = np.zeros((len(lon), 12), "<i2")
+    recs[:, 0] = clip16(lon * 180.0)
+    recs[:, 1] = clip16(lat * 360.0)
+    recs[:, 2] = clip16(z * 2.0 - 32000.0)
+    recs[:, 3] = clip16(topo * 2.0 - 32000.0)
+    recs[:, 4] = clip16(tropo * 2.0 - 32000.0)
+    recs[:, 5] = clip16(hmix * 2.0 - 32000.0)
+    recs[:, 6] = clip16(rho * 20000.0 - 32000.0)
+    recs[:, 7] = clip16(qv * 1.0e6 - 32000.0)
+    recs[:, 8] = clip16(pv * 100.0)
+    recs[:, 9] = clip16((tt - 273.15) * 300.0)
+    recs[:, 10] = clip16(uu * 200.0)
+    recs[:, 11] = clip16(vv * 200.0)
+    recs[~live] = 0   # direct-access file: dead slots stay zeroed
+    Path(path).write_bytes(recs.tobytes())

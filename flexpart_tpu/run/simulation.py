@@ -73,6 +73,7 @@ class Simulation:
     receptors: tuple = ()            # config.Receptor points
     outgrid_nest: Any = None         # OUTGRID_NEST (nested output grid)
     met_nests: tuple = ()            # nested met backends (inner last)
+    write_fortran: bool = False      # reference-format header + grid_conc_*
 
     def __post_init__(self):
         cmd = self.cmd
@@ -186,6 +187,11 @@ class Simulation:
             start=cmd.bdate, iout=cmd.iout_eff,
             write_netcdf=self.write_netcdf, write_npz=self.write_npz)
 
+        if self.write_fortran:
+            self._write_fortran_header()
+
+        self._avg_sums = None            # ipout=3 running sums
+        self._avg_counts = None
         self._height = None
         self._buf: dict[int, Any] = {}   # met_time -> ZFields
         self._key = jax.random.PRNGKey(self.seed)
@@ -442,8 +448,27 @@ class Simulation:
                 self.timings["convection"] = self.timings.get(
                     "convection", 0.0) + _time.perf_counter() - t0c
 
-            # sampling (timemanager.f90:350-365)
+            # quasilagrangian compressed dump at window centers
+            # (timemanager.f90:368-369)
             ld = cmd.ldirect
+            if (cmd.mquasilag == 1
+                    and itime == (loutstart + loutend) // 2):
+                from ..io.partdump import (particle_diagnostics,
+                                           write_shortposit)
+                from ..utils.dates import datestamp
+                from pathlib import Path as _P
+                dt1 = float(itime - mt0)
+                dt2 = float(mt1 - itime)
+                dtt = 1.0 / max(dt1 + dt2, 1e-9)
+                dg = particle_diagnostics(self.particles, z0, z1,
+                                          jnp.float32(dt2 * dtt),
+                                          jnp.float32(dt1 * dtt))
+                write_shortposit(
+                    _P(self.outdir) / ("shortposit_" + datestamp(
+                        add_seconds(cmd.bdate, itime))),
+                    itime, self.particles, self.grid, dg[0])
+
+            # sampling (timemanager.f90:350-365)
             if (ld * itime >= ld * loutstart and ld * itime <= ld * loutend
                     and (itime - loutstart) % loutsample == 0):
                 weight = 0.5 if itime in (loutstart, loutend) else 1.0
@@ -467,6 +492,19 @@ class Simulation:
                 if cmd.ipout == 1 and (abs(itime) // abs(cmd.loutstep)) \
                         % max(cmd.ipoutfac, 1) == 0:
                     self._write_partdump(itime, z0, z1, mt0, mt1)
+                # time-averaged particle dump (ipout=3,
+                # partoutput_average.f90)
+                if cmd.ipout == 3 and self._avg_sums is not None:
+                    from ..io.partdump import write_partposit_average
+                    from ..utils.dates import datestamp
+                    from pathlib import Path as _P
+                    write_partposit_average(
+                        _P(self.outdir) / ("partposit_average_"
+                                           + datestamp(add_seconds(
+                                               cmd.bdate, itime))),
+                        itime, self.particles, self._avg_sums,
+                        self._avg_counts)
+                    self._avg_sums = None
                 # particle splitting at output times once itime passes
                 # itsplit (timemanager.f90:473-504)
                 if cmd.itsplit < abs(ideltas) \
@@ -501,6 +539,26 @@ class Simulation:
             particle_steps += n_act
             self.timings["advance"] = self.timings.get(
                 "advance", 0.0) + _time.perf_counter() - t0
+
+            # per-step averaged-property accumulation (ipout=3,
+            # partpos_average.f90 analog, timemanager.f90:617)
+            if cmd.ipout == 3:
+                from ..io.partdump import averaging_sample
+                dt1 = float(itime + lsync - mt0)
+                dt2 = float(mt1 - itime - lsync)
+                dtt = 1.0 / max(dt1 + dt2, 1e-9)
+                sample, live = averaging_sample(
+                    self.particles, z0, z1, jnp.float32(dt2 * dtt),
+                    jnp.float32(dt1 * dtt), self.grid.dx, self.grid.dy,
+                    self.grid.xlon0, self.grid.ylat0)
+                inc = jnp.where(live, 1.0, 0.0)
+                contrib = sample * inc[None, :]
+                if self._avg_sums is None:
+                    self._avg_sums = contrib
+                    self._avg_counts = inc
+                else:
+                    self._avg_sums = self._avg_sums + contrib
+                    self._avg_counts = self._avg_counts + inc
 
             # gross fluxes across output faces (timemanager.f90:617-623)
             if self.use_flux:
@@ -545,6 +603,59 @@ class Simulation:
         self.timings["wall"] = _time.perf_counter() - t_wall0
         self.timings["particle_steps"] = particle_steps
         return self.particles
+
+    def _write_fortran_header(self):
+        """Reference-format 'header' file (writeheader.f90)."""
+        from pathlib import Path as _P
+        from ..io.fortran_writer import write_header
+        cmd = self.cmd
+        rels = []
+        for b in self.releases.boxes:
+            rt1 = int((b.start - cmd.bdate).total_seconds())
+            rt2 = int((b.end - cmd.bdate).total_seconds())
+            if cmd.ldirect < 0:
+                rt1, rt2 = -rt2, -rt1
+            rels.append(dict(
+                start=rt1, end=rt2, kindz=b.zkind,
+                xp1=b.lon1, yp1=b.lat1, xp2=b.lon2, yp2=b.lat2,
+                zp1=b.z1, zp2=b.z2, npart=b.parts, comment=b.comment,
+                xmass=list(b.mass) + [0.0] * (self.nspec - len(b.mass))))
+        _P(self.outdir).mkdir(parents=True, exist_ok=True)
+        write_header(
+            _P(self.outdir) / "header",
+            ibdate=cmd.ibdate if cmd.ldirect == 1 else cmd.iedate,
+            ibtime=cmd.ibtime if cmd.ldirect == 1 else cmd.ietime,
+            loutstep=cmd.loutstep, loutaver=cmd.loutaver,
+            loutsample=cmd.loutsample,
+            outlon0=self.outgrid.outlon0, outlat0=self.outgrid.outlat0,
+            numxgrid=self.geo.nxg, numygrid=self.geo.nyg,
+            dxout=self.outgrid.dxout, dyout=self.outgrid.dyout,
+            outheights=self.outgrid.outheights,
+            jjjjmmdd=cmd.bdate.year * 10000 + cmd.bdate.month * 100
+            + cmd.bdate.day,
+            ihmmss=cmd.bdate.hour * 10000 + cmd.bdate.minute * 100
+            + cmd.bdate.second,
+            species_names=[s.name for s in self.releases.species],
+            maxpointspec_act=self.conc_cfg.npointspec,
+            releases=rels, method=cmd.method, lsubgrid=cmd.lsubgrid,
+            lconvection=cmd.lconvection, ind_source=cmd.ind_source,
+            ind_receptor=cmd.ind_receptor,
+            nageclass=self.ageclasses.nageclass,
+            lage=self.ageclasses.lage or (999999999,))
+
+    def _write_fortran_grids(self, when, conc, wet, dry):
+        """grid_conc_* / grid_time_* sparse files (concoutput.f90)."""
+        from pathlib import Path as _P
+        from ..io.fortran_writer import write_grid_sparse
+        from ..utils.dates import datestamp
+        stem = "grid_conc_" if self.cmd.ldirect == 1 else "grid_time_"
+        for ks in range(self.nspec):
+            path = _P(self.outdir) / (stem + datestamp(when)
+                                      + f"_{ks + 1:03d}")
+            write_grid_sparse(
+                path, int(self._fort_itime), conc[ks],
+                wet[ks] if wet is not None else None,
+                dry[ks] if dry is not None else None)
 
     def _write_partdump(self, itime, z0, z1, mt0, mt1, end=False):
         from ..io.partdump import particle_diagnostics, write_partposit
@@ -631,6 +742,9 @@ class Simulation:
 
         when = add_seconds(self.cmd.bdate, itime)
         self.writer.write(when, conc, unc, wet=wet, dry=dry)
+        if self.write_fortran:
+            self._fort_itime = itime
+            self._write_fortran_grids(when, conc, wet, dry)
         if self.use_nested_output:
             accn = jax.device_get(self.acc_n)
             gn = np.asarray(accn.gridunc)
