@@ -45,6 +45,7 @@ class Command:
     mquasilag: int = 0
     nested_output: int = 0
     linit_cond: int = 0
+    linversionout: int = 0
     surf_only: int = 0
     cblflag: int = 0
     ohfields_path: str = "../../flexin/"

@@ -253,6 +253,32 @@ class Simulation:
             self._plume_writer = PlumeTrajWriter(
                 _P(self.outdir) / "trajectories.txt", self.releases,
                 cmd.bdate)
+        # sensitivity to initial conditions (linit_cond,
+        # initial_cond_calc.f90)
+        self.use_initcond = cmd.linit_cond >= 1
+        if self.use_initcond:
+            from ..grid.initcond import (InitCondConfig,
+                                         make_initcond_scatter,
+                                         zero_init_cond)
+            self.ic_cfg = InitCondConfig(
+                nxg=self.geo.nxg, nyg=self.geo.nyg, nzg=self.geo.nzg,
+                npointspec=self.conc_cfg.npointspec,
+                dxout=self.outgrid.dxout, dyout=self.outgrid.dyout,
+                xoutshift=self.geo.xoutshift,
+                youtshift=self.geo.youtshift,
+                dx_met=self.grid.dx, dy_met=self.grid.dy,
+                linit_cond=cmd.linit_cond,
+                ioutputforeachrelease=bool(cmd.ioutputforeachrelease))
+            self.init_cond = zero_init_cond(self.ic_cfg, self.nspec)
+            self._ic_scatter = make_initcond_scatter(
+                self.outgrid.outheights)
+            rm = np.zeros((self.conc_cfg.npointspec, self.nspec),
+                          np.float32)
+            for b_idx, b in enumerate(self.releases.boxes):
+                kp = b_idx if cmd.ioutputforeachrelease else 0
+                for k in range(self.nspec):
+                    rm[kp, k] += b.mass[k] if k < len(b.mass) else 0.0
+            self._release_mass = rm
         cc = self.conc_cfg
         self.depo_scatter = make_depokernel(
             cc.nxg, cc.nyg, cc.npointspec, cc.nclassunc, cc.nage,
@@ -525,6 +551,8 @@ class Simulation:
 
             # advance
             t0 = _time.perf_counter()
+            if self.use_initcond:
+                prev_active = self.particles.active
             if self.use_flux:
                 xold, yold, zold = (self.particles.x, self.particles.y,
                                     self.particles.z)
@@ -593,8 +621,26 @@ class Simulation:
                 self.particles = self.particles._replace(
                     active=self.particles.active & (age <= max_age))
 
+            # initial-condition sensitivity for terminated particles
+            # (timemanager.f90:631,702)
+            if self.use_initcond:
+                died = prev_active & ~self.particles.active
+                self.init_cond = self._ic_scatter(
+                    self.init_cond, self.particles, died, z1, self.ic_cfg)
+
             if progress and istep % 10 == 0:
                 log.info("t=%8d s  particles=%8d", itime, n_act)
+
+        # run end: survivors contribute too, then dump grid_initial_*
+        # (timemanager.f90:735-747)
+        if self.use_initcond:
+            z0e, z1e, _, _ = self._fields_for(itime)
+            self.init_cond = self._ic_scatter(
+                self.init_cond, self.particles, self.particles.active,
+                z1e, self.ic_cfg)
+            from ..grid.initcond import write_initial_cond
+            write_initial_cond(self.outdir, itime, self.init_cond,
+                               self._release_mass)
 
         if cmd.ipout in (1, 2):
             z0, z1, mt0, mt1 = self._fields_for(itime)
@@ -656,6 +702,36 @@ class Simulation:
                 path, int(self._fort_itime), conc[ks],
                 wet[ks] if wet is not None else None,
                 dry[ks] if dry is not None else None)
+
+    def _write_fortran_inversion(self, when, conc):
+        """Inversion time series (concoutput_inversion.f90:295-545): one
+        file per (release point, species) named by the RELEASE date,
+        appended each output step with (jjjjmmdd, ihmmss) records and the
+        surface-layer sparse concentration block (surf_only rule)."""
+        import struct as _struct
+        from pathlib import Path as _P
+        from ..io.fortran_writer import _rec, _sparse_block
+        from ..utils.dates import datestamp
+        cmd = self.cmd
+        stem = "grid_conc_" if cmd.ldirect == 1 else "grid_time_"
+        nx, ny = self.geo.nxg, self.geo.nyg
+        jjjjmmdd = when.year * 10000 + when.month * 100 + when.day
+        ihmmss = when.hour * 10000 + when.minute * 100 + when.second
+        for ks in range(self.nspec):
+            for kp in range(self.conc_cfg.npointspec):
+                box = self.releases.boxes[min(kp,
+                                              self.numpoint - 1)]
+                reldate = datestamp(box.start)
+                path = _P(self.outdir) / (stem + reldate
+                                          + f"_{ks + 1:03d}")
+                out = (_rec(_struct.pack("<i", jjjjmmdd))
+                       + _rec(_struct.pack("<i", ihmmss)))
+                for na in range(self.conc_cfg.nage):
+                    out += _sparse_block(conc[ks, kp, na, 0].ravel(),
+                                         index_offset=nx * ny)
+                mode = "ab" if path.exists() else "wb"
+                with open(path, mode) as f:
+                    f.write(out)
 
     def _write_partdump(self, itime, z0, z1, mt0, mt1, end=False):
         from ..io.partdump import particle_diagnostics, write_partposit
@@ -744,7 +820,10 @@ class Simulation:
         self.writer.write(when, conc, unc, wet=wet, dry=dry)
         if self.write_fortran:
             self._fort_itime = itime
-            self._write_fortran_grids(when, conc, wet, dry)
+            if self.cmd.linversionout == 1:
+                self._write_fortran_inversion(when, conc)
+            else:
+                self._write_fortran_grids(when, conc, wet, dry)
         if self.use_nested_output:
             accn = jax.device_get(self.acc_n)
             gn = np.asarray(accn.gridunc)

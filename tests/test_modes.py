@@ -109,3 +109,88 @@ def test_plume_trajectories(tmp_path):
     # cluster fractions sum to ~100
     fr = [float(first[16 + 5 * k + 3]) for k in range(5)]
     assert abs(sum(fr) - 100.0) < 1.0
+
+
+def test_initial_cond_sensitivity(tmp_path):
+    """linit_cond: backward run accumulates terminated+surviving particle
+    mass into the grid_initial field, normalized by release mass."""
+    from flexpart_tpu.io.fortran_writer import read_grid_sparse
+    import struct
+    grid = _grid()
+    cmd = Command(ibdate=20200101, ibtime=60000, iedate=20200101,
+                  ietime=120000, ldirect=-1, lsynctime=900, loutstep=3600,
+                  loutaver=3600, loutsample=900, lconvection=0,
+                  linit_cond=2)
+    box = ReleaseBox(idate1=20200101, itime1=120000, idate2=20200101,
+                     itime2=120000, lon1=-50.0, lon2=-48.0, lat1=42.0,
+                     lat2=44.0, z1=100.0, z2=500.0, mass=(2.0,), parts=300)
+    rel = Releases(species=(Species(),), boxes=(box,))
+    sim = Simulation(cmd=cmd, releases=rel, grid=grid,
+                     met_backend=SyntheticMet(grid), outgrid=OG,
+                     outdir=str(tmp_path), write_netcdf=False,
+                     write_npz=False, seed=4)
+    sim.run()
+    # device accumulator holds every particle's full mass exactly once
+    total = float(np.asarray(sim.init_cond).sum())
+    np.testing.assert_allclose(total, 2.0, rtol=1e-5)
+    f = Path(tmp_path) / "grid_initial_001"
+    assert f.exists()
+    data = f.read_bytes()
+    itime, = struct.unpack_from("<i", data, 4)
+    assert itime == sim.last_itime
+    # decode: skip itime record, then wet/dry dummies + 3-D field
+    from flexpart_tpu.io.fortran_writer import _RecReader, sparse_decode
+    r = _RecReader(data)
+    r.rec()
+    for _ in range(2):   # wet, dry dummies
+        for _ in range(4):
+            r.rec()
+    ni, = struct.unpack("<i", r.rec())
+    idx = np.frombuffer(r.rec(), np.int32, ni)
+    nr, = struct.unpack("<i", r.rec())
+    vals = np.frombuffer(r.rec(), np.float32, nr)
+    nxg, nyg, nzg = OG.numxgrid, OG.numygrid, len(OG.outheights)
+    field = sparse_decode(idx, vals, nxg * nyg * nzg,
+                          index_offset=nxg * nyg)
+    # normalized by release mass -> sums to ~1 (all particles stay in grid)
+    np.testing.assert_allclose(field.sum(), 1.0, rtol=1e-4)
+
+
+def test_inversion_output(tmp_path):
+    """linversionout=1: per-release time-series files named by the release
+    date, appended every output step with surface-layer sparse blocks."""
+    import struct
+    from flexpart_tpu.io.fortran_writer import _RecReader, sparse_decode
+    grid = _grid()
+    cmd = Command(ibdate=20200101, ibtime=60000, iedate=20200101,
+                  ietime=120000, ldirect=-1, lsynctime=900, loutstep=3600,
+                  loutaver=3600, loutsample=900, lconvection=0,
+                  linversionout=1)
+    box = ReleaseBox(idate1=20200101, itime1=120000, idate2=20200101,
+                     itime2=120000, lon1=-50.0, lon2=-48.0, lat1=42.0,
+                     lat2=44.0, z1=100.0, z2=500.0, mass=(1.0,), parts=300)
+    rel = Releases(species=(Species(),), boxes=(box,))
+    sim = Simulation(cmd=cmd, releases=rel, grid=grid,
+                     met_backend=SyntheticMet(grid), outgrid=OG,
+                     outdir=str(tmp_path), write_netcdf=False,
+                     write_npz=False, write_fortran=True, seed=4)
+    sim.run()
+    f = Path(tmp_path) / "grid_time_20200101120000_001"
+    assert f.exists()
+    r = _RecReader(f.read_bytes())
+    n_steps = 0
+    total = 0.0
+    nx, ny = OG.numxgrid, OG.numygrid
+    while not r.eof:
+        jjjjmmdd, = struct.unpack("<i", r.rec())
+        ihmmss, = struct.unpack("<i", r.rec())
+        assert jjjjmmdd == 20200101
+        ni, = struct.unpack("<i", r.rec())
+        idx = np.frombuffer(r.rec(), np.int32, ni)
+        nr, = struct.unpack("<i", r.rec())
+        vals = np.frombuffer(r.rec(), np.float32, nr)
+        field = sparse_decode(idx, vals, nx * ny, index_offset=nx * ny)
+        total += field.sum()
+        n_steps += 1
+    assert n_steps >= 4     # appended once per output interval
+    assert total > 0        # released at z=100-500 m: surface layer sees it
