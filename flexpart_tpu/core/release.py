@@ -27,9 +27,15 @@ from .state import ITRA_INACTIVE, Particles, empty_particles
 def build_release_schedule(rel: Releases, cmd: Command, grid: MetGrid,
                            capacity: int | None = None,
                            nclassunc: int = 1,
-                           seed: int = 42) -> Particles:
+                           seed: int = 42,
+                           bkdep: int = 0) -> Particles:
     """Host-side: build the full particle population, all inactive, with
-    itra = sync-aligned release time."""
+    itra = sync-aligned release time.
+
+    bkdep: 3 (WETBKDEP) / 4 (DRYBKDEP) backward deposition modes force
+    the release height to 0-20 km / 0-2*href (readcommand.f90:322-337)
+    and mark the scavenging factor xscav = -1 (to be computed at the
+    particle's first step, timemanager.f90:565-598)."""
     t0 = cmd.bdate
     lsync = cmd.lsynctime * cmd.ldirect
     total = rel.total_particles
@@ -55,7 +61,13 @@ def build_release_schedule(rel: Releases, cmd: Command, grid: MetGrid,
         x2, y2 = grid.lonlat_to_grid(box.lon2, box.lat2)
         xs[sl] = x1 + rng.random(nparts) * (x2 - x1)
         ys[sl] = y1 + rng.random(nparts) * (y2 - y1)
-        zs[sl] = box.z1 + rng.random(nparts) * (box.z2 - box.z1)
+        if bkdep == 3:          # wet dep sensitivity: full column
+            bz1, bz2 = 0.0, 20000.0
+        elif bkdep == 4:        # dry dep sensitivity: 2*href layer
+            bz1, bz2 = 0.0, 30.0
+        else:
+            bz1, bz2 = box.z1, box.z2
+        zs[sl] = bz1 + rng.random(nparts) * (bz2 - bz1)
 
         # release times: uniform spread over the window, aligned to sync
         # steps (releaseparticles.f90:108-127, uniform-midpoint variant)
@@ -94,6 +106,7 @@ def build_release_schedule(rel: Releases, cmd: Command, grid: MetGrid,
         nclass=p.nclass.at[idx].set(nclass.astype(np.int32)),
         mass=p.mass.at[idx].set(mass),
         mass0=p.mass0.at[idx].set(mass),
+        xscav=(p.xscav.at[idx].set(-1.0) if bkdep else p.xscav),
     )
 
 

@@ -46,6 +46,9 @@ class Particles(NamedTuple):
     cbt: jnp.ndarray      # (N,) i8 forbidden-state flag (+1/-1)
     mass: jnp.ndarray     # (N, nspec) f32
     mass0: jnp.ndarray    # (N, nspec) f32 mass at release (minmass check)
+    xscav: jnp.ndarray    # (N, nspec) f32 backward-dep scavenging factor
+    #                       (com_mod xscav_frac1; 1 outside WET/DRYBKDEP,
+    #                       -1 = not yet computed in bkdep runs)
     active: jnp.ndarray   # (N,) bool
 
     @property
@@ -77,6 +80,7 @@ def empty_particles(capacity: int, nspec: int = 1) -> Particles:
         cbt=jnp.ones(capacity, jnp.int8),
         mass=jnp.zeros((capacity, nspec), jnp.float32),
         mass0=jnp.zeros((capacity, nspec), jnp.float32),
+        xscav=jnp.ones((capacity, nspec), jnp.float32),
         active=jnp.zeros(capacity, bool),
     )
 

@@ -39,6 +39,8 @@ class ConcConfig(NamedTuple):
     use_kernel: bool = True
     ioutputforeachrelease: bool = True
     particle_count_output: bool = False
+    bkdep: bool = False  # WET/DRYBKDEP: weight by max(xscav,0)
+    #                      (conccalc.f90:181,230)
 
 
 def make_conccalc(outheights):
@@ -123,6 +125,8 @@ def _conccalc_impl(acc, p, zf, itime, lage, weight, cfg: ConcConfig, outheight):
         contrib = jnp.broadcast_to(w4[..., None], w4.shape + (p.nspec,))
     else:
         contrib = (w4 / rhoi[:, None])[..., None] * p.mass[:, None, :]
+        if cfg.bkdep:
+            contrib = contrib * jnp.maximum(p.xscav, 0.0)[:, None, :]
     contrib = jnp.where(valid[..., None], contrib * weight, 0.0)
 
     flat = acc.gridunc.reshape(-1, p.nspec)

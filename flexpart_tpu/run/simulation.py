@@ -89,6 +89,12 @@ class Simulation:
             if len(self.met_nests) > 1:
                 log.warning("only the innermost met nest is used")
 
+        # backward deposition modes (readcommand.f90:316-339)
+        self.bkdep = (cmd.ind_receptor
+                      if cmd.ldirect < 0 and cmd.ind_receptor in (3, 4)
+                      else 0)
+        self._bkdep_pending = self.bkdep != 0
+
         sp0 = self.releases.species[0]
         sc = sp0.size_classes()
         self.step_cfg = StepConfig(
@@ -135,6 +141,7 @@ class Simulation:
             dx_met=self.grid.dx, dy_met=self.grid.dy,
             ind_samp=cmd.ind_samp,
             ioutputforeachrelease=bool(cmd.ioutputforeachrelease),
+            bkdep=self.bkdep != 0,
         )
         self.conccalc = make_conccalc(self.outgrid.outheights)
         # nested output grid (outgrid_init_nest.f90 / concoutput_nest)
@@ -174,7 +181,8 @@ class Simulation:
         else:
             self.particles = build_release_schedule(
                 self.releases, cmd, self.grid, capacity=self.capacity,
-                nclassunc=self.nclassunc, seed=self.seed)
+                nclassunc=self.nclassunc, seed=self.seed,
+                bkdep=self.bkdep)
         self.acc: Accumulators = zero_accumulators(
             self.geo, self.nspec, self.conc_cfg.npointspec,
             self.nclassunc, nage)
@@ -314,6 +322,16 @@ class Simulation:
         if tsec not in self._buf:
             t0 = _time.perf_counter()
             eta = self.met_backend.fetch(float(tsec))
+            if self.bkdep == 3:
+                # release-point precip series (getfields.f90:141-143)
+                from pathlib import Path as _P
+                from ..physics.bkdep import write_precip
+                write_precip(_P(self.outdir) / "wetscav_precip.txt",
+                             add_seconds(self.cmd.bdate, tsec),
+                             self.releases, self.grid, eta,
+                             first=not getattr(self, "_precip_started",
+                                               False))
+                self._precip_started = True
             if self._height is None:
                 self._height = compute_heights(self.grid, eta)
             self._ensure_vdep_kernel(eta)
@@ -449,6 +467,29 @@ class Simulation:
 
             # releases
             self.particles = activate(self.particles, jnp.int32(itime))
+
+            # backward-deposition scavenging factor for fresh particles
+            # (timemanager.f90:565-598, once per particle after release)
+            if self._bkdep_pending:
+                from ..physics.bkdep import (assign_drybkdep,
+                                             assign_wetbkdep)
+                if self.bkdep == 4:
+                    self._ensure_vdep_kernel(self._get_eta(mt1))
+                    vd = z1.vdep
+                    if vd is not None:
+                        self.particles = assign_drybkdep(self.particles,
+                                                         vd)
+                else:
+                    interp_t = itime + lsync // 2
+                    zw = (z0 if abs(mt0 - interp_t) < abs(mt1 - interp_t)
+                          else z1)
+                    colh = jnp.full(self.particles.capacity, 20000.0)
+                    self.particles = assign_wetbkdep(
+                        self.particles, zw, jnp.int32(itime),
+                        jnp.int32(cmd.lsynctime), self.wet_species,
+                        self.use_clwc, colh)
+                if int((self.particles.xscav[:, 0] < 0).sum()) == 0:
+                    self._bkdep_pending = False
 
             # convective redistribution (timemanager.f90:258-263 ->
             # convmix/calcmatrix/convect/redist)

@@ -194,3 +194,63 @@ def test_inversion_output(tmp_path):
         n_steps += 1
     assert n_steps >= 4     # appended once per output interval
     assert total > 0        # released at z=100-500 m: surface layer sees it
+
+
+def test_wetbkdep(tmp_path):
+    """ind_receptor=3 backward: particles released in the rain band get a
+    positive scavenging factor; particles outside get their mass zeroed;
+    the precip time series file is written."""
+    grid = _grid()
+    cmd = Command(ibdate=20200101, ibtime=60000, iedate=20200101,
+                  ietime=120000, ldirect=-1, lsynctime=900, loutstep=3600,
+                  loutaver=3600, loutsample=900, lconvection=0,
+                  ind_receptor=3)
+    # release inside the synthetic storm band (|lat|~50, sin(3*lam)>0)
+    box = ReleaseBox(idate1=20200101, itime1=120000, idate2=20200101,
+                     itime2=120000, lon1=28.0, lon2=32.0, lat1=48.0,
+                     lat2=52.0, z1=100.0, z2=500.0, mass=(1.0,),
+                     parts=300)
+    rel = Releases(species=(Species(weta_gas=1e-4, wetb_gas=0.8, henry=1.0e5),),
+                   boxes=(box,))
+    sim = Simulation(cmd=cmd, releases=rel, grid=grid,
+                     met_backend=SyntheticMet(grid), outgrid=OG,
+                     outdir=str(tmp_path), write_netcdf=False, seed=4)
+    assert sim.bkdep == 3
+    sim.run()
+    xs = np.asarray(sim.particles.xscav[:, 0])
+    assert (xs >= 0).all()          # all factors were assigned
+    assert (xs > 0).sum() > 10      # some particles saw rain
+    # release height forced to the full 0-20km column
+    # (readcommand.f90:322-328)
+    z0 = np.asarray(sim.particles.z)
+    assert z0.max() > 5000.0
+    assert (Path(tmp_path) / "wetscav_precip.txt").exists()
+    npz = sorted(Path(tmp_path).glob("grid_conc_*.npz"))
+    conc = np.load(npz[-1])["conc"]
+    assert np.isfinite(conc).all() and conc.max() > 0
+
+
+def test_drybkdep(tmp_path):
+    """ind_receptor=4 backward: xscav = interpolated deposition velocity,
+    release height forced to the surface layer."""
+    grid = _grid()
+    cmd = Command(ibdate=20200101, ibtime=60000, iedate=20200101,
+                  ietime=120000, ldirect=-1, lsynctime=900, loutstep=3600,
+                  loutaver=3600, loutsample=900, lconvection=0,
+                  ind_receptor=4)
+    box = ReleaseBox(idate1=20200101, itime1=120000, idate2=20200101,
+                     itime2=120000, lon1=-50.0, lon2=-48.0, lat1=42.0,
+                     lat2=44.0, z1=100.0, z2=500.0, mass=(1.0,),
+                     parts=300)
+    rel = Releases(species=(Species(dryvel=0.02),), boxes=(box,))
+    sim = Simulation(cmd=cmd, releases=rel, grid=grid,
+                     met_backend=SyntheticMet(grid), outgrid=OG,
+                     outdir=str(tmp_path), write_netcdf=False,
+                     write_npz=False, seed=4)
+    assert sim.bkdep == 4
+    sim.run()
+    xs = np.asarray(sim.particles.xscav[:, 0])
+    act = np.asarray(sim.particles.active)
+    np.testing.assert_allclose(xs[act], 0.02, rtol=1e-5)
+    z0 = np.asarray(sim.particles.z)[act]
+    assert z0.max() < 1500.0   # released in the 0-30 m layer, mixed up
