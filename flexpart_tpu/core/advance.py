@@ -22,7 +22,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..constants import D_STRAT, D_TROP, GA, PI180, TURBMESOSCALE
+from ..constants import D_STRAT, D_TROP, GA, PI180, R_EARTH, TURBMESOSCALE
 from ..met.fields import ZFields, F2_HMIX, F2_TROPO, F2_USTAR, F2_WSTAR, F2_OLI, F3_TT, F3_RHO
 from . import rng
 from .cbl import cbl_terms, reinit_wp
@@ -53,6 +53,8 @@ class StepConfig(NamedTuple):
     mintime: float = 1.0        # minimum adaptive substep [s] (par_mod)
     nest_nx: int = 0            # nested met grid shape (0 = no nest)
     nest_ny: int = 0
+    polar: bool = False         # global grid reaching the poles: use the
+    #                             stereographic update poleward of 75 deg
 
 
 class StepParams(NamedTuple):
@@ -78,19 +80,20 @@ class StepParams(NamedTuple):
     yrn: jnp.ndarray
     xresoln: jnp.ndarray        # mother dx / nest dx
     yresoln: jnp.ndarray
+    xlon0_pol: jnp.ndarray      # grid lon origin (polar-cap projection)
 
     @classmethod
     def make(cls, dx, dy, ylat0, dxconst, dyconst, lsynctime, fine,
              ctl=-5.0, lwindinterv=3600, sp_density=-1.0, sp_dquer=0.0,
              sp_cunningham=0.0, sp_vsetaver=0.0,
              xln=0.0, yln=0.0, xrn=0.0, yrn=0.0,
-             xresoln=1.0, yresoln=1.0):
+             xresoln=1.0, yresoln=1.0, xlon0=-180.0):
         f = jnp.float32
         return cls(f(dx), f(dy), f(ylat0), f(dxconst), f(dyconst),
                    f(abs(lsynctime)), f(fine), f(ctl), f(lwindinterv),
                    f(sp_density), f(sp_dquer), f(sp_cunningham),
                    f(sp_vsetaver), f(xln), f(yln), f(xrn), f(yrn),
-                   f(xresoln), f(yresoln))
+                   f(xresoln), f(yresoln), f(xlon0))
 
 
 class StepDiag(NamedTuple):
@@ -259,6 +262,63 @@ def _pbl_adaptive(cfg: StepConfig, prm: StepParams, key, z, up, vp, wp,
         icbt = jnp.where(act, icbt2, icbt).astype(jnp.int8)
         remaining = jnp.maximum(remaining - dt_i, 0.0)
     return up, vp, z, wp, icbt, daw, dcw
+
+
+SWITCHNORTH = 75.0       # polar-cap latitude thresholds (par_mod.f90:123)
+SWITCHSOUTH = -75.0
+
+
+def _polar_update(prm: StepParams, x, y, dxsave, dysave, ldirf):
+    """Polar-stereographic position update for particles poleward of
+    +-75 deg (advance.f90:754-778).  The reference precomputes rotated
+    uupol/vvpol grids and goes through the cmapf_mod projection package
+    (cll2xy/cgszll/cxy2ll); here the tangent polar stereographic map is
+    closed-form: the accumulated geographic (east, north) displacement is
+    rotated into the plane basis at the particle's longitude, scaled by
+    the map factor m = sec^2((90-|lat|)/2), applied in plane coordinates
+    rho = 2R tan((90-|lat|)/2), and inverted — branch-free and with no
+    extra wind fields in HBM.  Returns (x_new, y_new, north_mask,
+    south_mask) in grid units."""
+    lon = (prm.xlon0_pol + x * prm.dx) * PI180
+    lat = (prm.ylat0 + y * prm.dy) * PI180
+    north = lat > SWITCHNORTH * PI180
+    south = lat < SWITCHSOUTH * PI180
+
+    sinl, cosl = jnp.sin(lon), jnp.cos(lon)
+
+    # ---- north pole plane: X = rho sin(lon), Y = -rho cos(lon) ----
+    half_n = (jnp.pi / 4.0) - lat / 2.0          # (90 - lat)/2
+    rho_n = 2.0 * R_EARTH * jnp.tan(half_n)
+    m_n = 1.0 / jnp.cos(half_n) ** 2             # map factor
+    dxp = (dxsave * cosl - dysave * sinl) * m_n * ldirf
+    dyp = (dxsave * sinl + dysave * cosl) * m_n * ldirf
+    xpl = rho_n * sinl + dxp
+    ypl = -rho_n * cosl + dyp
+    rho2 = jnp.hypot(xpl, ypl)
+    lat_n = jnp.pi / 2.0 - 2.0 * jnp.arctan(rho2 / (2.0 * R_EARTH))
+    lon_n = jnp.arctan2(xpl, -ypl)
+
+    # ---- south pole plane: X = rho sin(lon), Y = +rho cos(lon) ----
+    half_s = (jnp.pi / 4.0) + lat / 2.0          # (90 + lat)/2
+    rho_s = 2.0 * R_EARTH * jnp.tan(half_s)
+    m_s = 1.0 / jnp.cos(half_s) ** 2
+    dxs = (dxsave * cosl + dysave * sinl) * m_s * ldirf
+    dys = (-dxsave * sinl + dysave * cosl) * m_s * ldirf
+    xps = rho_s * sinl + dxs
+    yps = rho_s * cosl + dys
+    rho2s = jnp.hypot(xps, yps)
+    lat_s = -(jnp.pi / 2.0) + 2.0 * jnp.arctan(rho2s / (2.0 * R_EARTH))
+    lon_s = jnp.arctan2(xps, yps)
+
+    lat_new = jnp.where(north, lat_n, lat_s) / PI180
+    lon_new = jnp.where(north, lon_n, lon_s) / PI180
+    # back to mother-grid units; wrap into the grid's lon window
+    xg = (lon_new - prm.xlon0_pol) / prm.dx
+    nxm = (360.0 / prm.dx)
+    xg = jnp.where(xg < 0.0, xg + nxm, xg)
+    xg = jnp.where(xg >= nxm, xg - nxm, xg)
+    yg = (lat_new - prm.ylat0) / prm.dy
+    return xg, yg, north, south
 
 
 def _sample_met(zA: ZFields, zB: ZFields, tw0, tw1, x, y, z, height,
@@ -450,6 +510,16 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     x_hi, x_lo = ds_add(p.x_hi, p.x_lo, dxsave * cosfact * ldirf)
     y_hi, y_lo = ds_add(p.y_hi, p.y_lo, dysave * prm.dyconst * ldirf)
 
+    if cfg.polar:
+        # stereographic update inside the polar caps (advance.f90:754-778)
+        xg_p, yg_p, pn, ps = _polar_update(prm, x, y, dxsave, dysave,
+                                           ldirf)
+        pol = pn | ps
+        x_hi = jnp.where(pol, xg_p, x_hi)
+        x_lo = jnp.where(pol, 0.0, x_lo)
+        y_hi = jnp.where(pol, yg_p, y_hi)
+        y_lo = jnp.where(pol, 0.0, y_lo)
+
     x_hi, x_lo, y_hi, y_lo, exited = _apply_bcs(cfg, prm, x_hi, x_lo, y_hi,
                                                  y_lo)
     z_new = jnp.minimum(z_new, height[-1] - 1e-3)
@@ -493,6 +563,14 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     cosfact2 = prm.dxconst / jnp.cos((yn * prm.dy + prm.ylat0) * PI180)
     xc_hi, xc_lo = ds_add(x_hi, x_lo, du * cosfact2 * dtl * ldirf)
     yc_hi, yc_lo = ds_add(y_hi, y_lo, dv * prm.dyconst * dtl * ldirf)
+    if cfg.polar:
+        xg_c, yg_c, pn2, ps2 = _polar_update(prm, xn, yn, du * dtl,
+                                             dv * dtl, ldirf)
+        pol2 = pn2 | ps2
+        xc_hi = jnp.where(pol2, xg_c, xc_hi)
+        xc_lo = jnp.where(pol2, 0.0, xc_lo)
+        yc_hi = jnp.where(pol2, yg_c, yc_hi)
+        yc_lo = jnp.where(pol2, 0.0, yc_lo)
     xc_hi, xc_lo, yc_hi, yc_lo, exited2 = _apply_bcs(cfg, prm, xc_hi, xc_lo,
                                                      yc_hi, yc_lo)
 

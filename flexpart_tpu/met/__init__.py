@@ -11,4 +11,5 @@ from .fields import EtaFields, ZFields, zeros_zfields
 from .verttransform import process_eta, compute_heights
 from .calcpv import calcpv
 from .calcpar import calcpar
-from .synthetic import SyntheticMet, make_grid, uniform_wind_met
+from .synthetic import (SyntheticMet, make_grid, solid_rotation_met,
+                        uniform_wind_met)

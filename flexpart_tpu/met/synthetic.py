@@ -152,3 +152,48 @@ def uniform_wind_met(grid: MetGrid, u: float = 10.0, v: float = 0.0,
             return eta_from_numpy(d)
 
     return _Uniform(grid)
+
+
+def solid_rotation_met(grid: MetGrid, vmax: float = 20.0,
+                       axis_lon: float = -80.0):
+    """Solid-body rotation about an equatorial axis at ``axis_lon``:
+    a non-divergent great-circle flow that crosses the poles.  In
+    geographic components u = -vmax sin(lat) cos(lon-axis_lon),
+    v = vmax sin(lon-axis_lon).  Particles on the meridian
+    ``axis_lon + 90`` move due north, straight across the pole, and
+    continue south on the far side — the exactness test for the
+    polar-stereographic advance branch (advance.f90:754-778)."""
+
+    class _Solid:
+        def __init__(self, grid):
+            self.grid = grid
+
+        def fetch(self, time: float) -> EtaFields:
+            g = self.grid
+            ny, nx, nlev = g.ny, g.nx, g.nlev
+            lam = np.deg2rad(g.lons[None, :] * np.ones((ny, 1)))
+            phi = np.deg2rad(g.lats[:, None] * np.ones((1, nx)))
+            la = np.deg2rad(axis_lon)
+            u2 = -vmax * np.sin(phi) * np.cos(lam - la)
+            v2 = vmax * np.sin(lam - la)
+            ps = np.full((ny, nx), 101325.0)
+            tt2 = np.full((ny, nx), 288.0)
+            td2 = tt2 - 5.0
+            p_full = g.akz[:, None, None] + g.bkz[:, None, None] * ps[None]
+            zapprox = -7500.0 * np.log(np.maximum(p_full, 1.0) / ps[None])
+            tth = np.maximum(tt2[None] - 6.5e-3 * zapprox, 216.0)
+            qvh = np.full((nlev, ny, nx), 1e-4)
+            zero = np.zeros((ny, nx))
+            d = dict(
+                ps=ps, tt2=tt2, td2=td2, sshf=zero + 1.0,
+                surfstr=zero + 0.1, ssr=zero, lsprec=zero, convprec=zero,
+                tcc=zero, sd=zero, oro=zero, excessoro=zero, lsm=zero,
+                tth=tth, qvh=qvh,
+                uuh=np.broadcast_to(u2, (nlev, ny, nx)).copy(),
+                vvh=np.broadcast_to(v2, (nlev, ny, nx)).copy(),
+                wwh=np.zeros((nlev, ny, nx)),
+                clwch=np.zeros((nlev, ny, nx)),
+            )
+            return eta_from_numpy(d)
+
+    return _Solid(grid)

@@ -97,9 +97,12 @@ class Simulation:
 
         sp0 = self.releases.species[0]
         sc = sp0.size_classes()
+        top_lat = self.grid.ylat0 + (self.grid.ny - 1) * self.grid.dy
         self.step_cfg = StepConfig(
             nx=self.grid.nx, ny=self.grid.ny, nz=self.grid.nlev,
             xglobal=self.grid.xglobal,
+            polar=bool(self.grid.xglobal
+                       and (top_lat > 75.0 or self.grid.ylat0 < -75.0)),
             ldirect=cmd.ldirect,
             turbswitch=cmd.turbswitch, ifine=cmd.ifine_eff,
             method=cmd.method, cblflag=cmd.cblflag == 1,
@@ -110,6 +113,7 @@ class Simulation:
         )
         self.step_prm = StepParams.make(
             dx=self.grid.dx, dy=self.grid.dy, ylat0=self.grid.ylat0,
+            xlon0=self.grid.xlon0,
             dxconst=self.grid.dxconst, dyconst=self.grid.dyconst,
             lsynctime=cmd.lsynctime, fine=cmd.fine,
             ctl=cmd.ctl_eff, lwindinterv=self.wind_interval,
