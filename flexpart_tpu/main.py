@@ -53,10 +53,16 @@ def build_simulation(pathnames: str, met: str = "auto",
             backend = NpzMet(metdata=pn.metdata, entries=entries,
                              bdate=cmd.bdate)
         else:
-            # GRIB via the native decoder (readwind_ecmwf.f90 analog)
-            from .met.gribmet import GribMet
-            backend = GribMet(metdata=pn.metdata, entries=entries,
-                              bdate=cmd.bdate)
+            # GRIB via the native decoder; probe the producing model like
+            # detectformat.f90 (ECMWF hybrid-eta vs NCEP isobaric)
+            from .met.gfsmet import GfsMet, looks_like_gfs
+            if looks_like_gfs(first):
+                backend = GfsMet(metdata=pn.metdata, entries=entries,
+                                 bdate=cmd.bdate)
+            else:
+                from .met.gribmet import GribMet
+                backend = GribMet(metdata=pn.metdata, entries=entries,
+                                  bdate=cmd.bdate)
         grid = backend.grid()
         wind_interval = backend.wind_interval
 
@@ -64,6 +70,7 @@ def build_simulation(pathnames: str, met: str = "auto",
         cmd=cmd, releases=releases, grid=grid, met_backend=backend,
         outgrid=outgrid, ageclasses=ageclasses, outdir=str(pn.output),
         capacity=capacity, seed=seed, wind_interval=wind_interval,
+        use_clwc=bool(getattr(backend, "sumclouds", False)),
         options_dir=str(opts) if (opts / "IGBP_int1.dat").exists() else None)
     return sim
 

@@ -13,3 +13,5 @@ from .calcpv import calcpv
 from .calcpar import calcpar
 from .synthetic import (SyntheticMet, make_grid, solid_rotation_met,
                         uniform_wind_met)
+from .gfsmet import GfsMet, eta_from_gfs_grib, grid_from_gfs_grib, looks_like_gfs
+from .pblprofile import pbl_profile

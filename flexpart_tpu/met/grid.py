@@ -34,6 +34,9 @@ class MetGrid:
     akm: np.ndarray         # (nlev,) interface ("half level") coeffs, bottom-up
     bkm: np.ndarray         # (nlev,)
     xglobal: bool = False
+    pressure_levels: bool = False   # GFS: levels ARE pressures (akm=p, bkm=0,
+    #                                 no artificial ground level;
+    #                                 gridcheck_gfs.f90:441-495)
 
     def __post_init__(self):
         object.__setattr__(self, "akm", np.asarray(self.akm, np.float64))
@@ -42,6 +45,8 @@ class MetGrid:
     # --- full-level coefficients (gridcheck_ecmwf.f90:510-516) ---
     @functools.cached_property
     def akz(self) -> np.ndarray:
+        if self.pressure_levels:
+            return self.akm.copy()
         akz = np.empty(self.nlev)
         akz[0] = 0.0
         akz[1:] = 0.5 * (self.akm[1:] + self.akm[:-1])
@@ -49,6 +54,8 @@ class MetGrid:
 
     @functools.cached_property
     def bkz(self) -> np.ndarray:
+        if self.pressure_levels:
+            return self.bkm.copy()
         bkz = np.empty(self.nlev)
         bkz[0] = 1.0
         bkz[1:] = 0.5 * (self.bkm[1:] + self.bkm[:-1])

@@ -38,20 +38,42 @@ def _layer_thickness(pold, pint, tvold, tv):
     return jnp.where(jnp.abs(tv - tvold) > 0.2, dz_grad, dz_iso)
 
 
-def eta_level_heights(akz, bkz, ps, tt2, td2, tth, qvh):
+def eta_level_heights(akz, bkz, ps, tt2, td2, tth, qvh,
+                      pressure_levels: bool = False):
     """Heights of eta full levels above ground per column, and density.
 
     Returns (uvzlev, rhoh, prsh), each (nlev, ny, nx); level 0 = ground.
     (verttransform_ecmwf.f90:207-240)
+
+    With ``pressure_levels`` (GFS), levels can lie below the terrain
+    where ps < akz: the reference starts the integration at the first
+    level above ground ``llev`` (verttransform_gfs.f90:146-182).  Here
+    that is branch-free: layer thicknesses whose lower level is below
+    ground are zeroed, so all below-ground levels collapse onto height
+    zero; they then get tiny negative offsets so the z-interpolation's
+    searchsorted lands on the llev value at the ground — identical to
+    the reference's llev-based column scan.
     """
     pint = akz[:, None, None] + bkz[:, None, None] * ps[None]
-    tv0 = tt2 * (1.0 + 0.378 * ew(td2) / ps)
     tv = tth * (1.0 + 0.608 * qvh)
-    tv = tv.at[0].set(tv0)
+    if not pressure_levels:
+        tv0 = tt2 * (1.0 + 0.378 * ew(td2) / ps)
+        tv = tv.at[0].set(tv0)
     rhoh = pint / (R_AIR * tv)
     dz = _layer_thickness(pint[:-1], pint[1:], tv[:-1], tv[1:])
-    uvzlev = jnp.concatenate(
-        [jnp.zeros_like(ps)[None], jnp.cumsum(dz, axis=0)], axis=0)
+    if pressure_levels:
+        below_lower = pint[:-1] >= ps[None]      # lower level below ground
+        dz = jnp.where(below_lower, 0.0, dz)
+        uvzlev = jnp.concatenate(
+            [jnp.zeros_like(ps)[None], jnp.cumsum(dz, axis=0)], axis=0)
+        below = pint >= ps[None]
+        nlev = akz.shape[0]
+        k = jnp.arange(nlev, dtype=uvzlev.dtype)[:, None, None]
+        n_below = jnp.sum(below, axis=0)[None].astype(uvzlev.dtype)
+        uvzlev = jnp.where(below, -1e-3 * (n_below - k), uvzlev)
+    else:
+        uvzlev = jnp.concatenate(
+            [jnp.zeros_like(ps)[None], jnp.cumsum(dz, axis=0)], axis=0)
     return uvzlev, rhoh, pint
 
 
@@ -105,17 +127,20 @@ def _interp_to_height(prof_lev, height, fields_lev):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("xglobal", "use_clwc"))
+@functools.partial(jax.jit, static_argnames=("xglobal", "use_clwc",
+                                             "pressure_levels"))
 def _process_eta_jit(akz, bkz, height, eta: EtaFields, pvh,
                      dxconst, dyconst, dx, dy, ylat0,
-                     xglobal: bool, use_clwc: bool):
+                     xglobal: bool, use_clwc: bool,
+                     pressure_levels: bool = False):
     nlev = akz.shape[0]
     ny, nx = eta.ps.shape
     nz = nlev
     ncol = ny * nx
 
     uvzlev, rhoh, prsh = eta_level_heights(
-        akz, bkz, eta.ps, eta.tt2, eta.td2, eta.tth, eta.qvh)
+        akz, bkz, eta.ps, eta.tt2, eta.td2, eta.tth, eta.qvh,
+        pressure_levels=pressure_levels)
 
     # --- interpolate u,v,t,qv,pv,rho (and clwc) to the fixed height grid ---
     prof = uvzlev.reshape(nlev, ncol)
@@ -124,24 +149,45 @@ def _process_eta_jit(akz, bkz, height, eta: EtaFields, pvh,
     zstack = _interp_to_height(prof, height, stack).reshape(7, nz, ny, nx)
     uu, vv, tt, qv, pv, rho, clwc = (zstack[i] for i in range(7))
 
-    # --- vertical wind: Pa/s -> m/s via pinmconv, on w interface levels ---
+    # --- vertical wind: Pa/s -> m/s via pinmconv ---
     # (verttransform_ecmwf.f90:243-261,361-387)
-    wzlev = jnp.concatenate([
-        jnp.zeros((1, ny, nx)),
-        0.5 * (uvzlev[2:] + uvzlev[1:-1]),
-        (0.5 * (uvzlev[-1] + uvzlev[-2])
-         + uvzlev[-1] - uvzlev[-2])[None],
-    ], axis=0)
     pfull = akz[:, None, None] + bkz[:, None, None] * eta.ps[None]
-    pinmconv = jnp.concatenate([
-        (uvzlev[1] / (pfull[1] - pfull[0]))[None],
-        (uvzlev[2:] - uvzlev[:-2]) / (pfull[2:] - pfull[:-2]),
-        ((uvzlev[-1] - uvzlev[-2]) / (pfull[-1] - pfull[-2]))[None],
-    ], axis=0)
+    if pressure_levels:
+        # GFS: omega lives on the SAME pressure levels as u,v
+        # (verttransform_gfs.f90:160-186,270-286); below-ground levels are
+        # collapsed, and dz/dp at the first above-ground level is anchored
+        # at the surface (z=0, p=ps) — the exact hydrostatic gradient.
+        wzlev = uvzlev
+        zeff = jnp.maximum(uvzlev, 0.0)
+        peff = jnp.minimum(pfull, eta.ps[None])
+
+        def _dzdp(dz_, dp_):
+            # fully-below-ground spans clamp to dp=0; their pinmconv is
+            # never used (those levels collapse onto z<=0), keep it finite
+            return dz_ / jnp.where(jnp.abs(dp_) < 0.5, -0.5, dp_)
+
+        pinmconv = jnp.concatenate([
+            _dzdp(zeff[1] - zeff[0], peff[1] - peff[0])[None],
+            _dzdp(zeff[2:] - zeff[:-2], peff[2:] - peff[:-2]),
+            _dzdp(zeff[-1] - zeff[-2], peff[-1] - peff[-2])[None],
+        ], axis=0)
+    else:
+        wzlev = jnp.concatenate([
+            jnp.zeros((1, ny, nx)),
+            0.5 * (uvzlev[2:] + uvzlev[1:-1]),
+            (0.5 * (uvzlev[-1] + uvzlev[-2])
+             + uvzlev[-1] - uvzlev[-2])[None],
+        ], axis=0)
+        pinmconv = jnp.concatenate([
+            (uvzlev[1] / (pfull[1] - pfull[0]))[None],
+            (uvzlev[2:] - uvzlev[:-2]) / (pfull[2:] - pfull[:-2]),
+            ((uvzlev[-1] - uvzlev[-2]) / (pfull[-1] - pfull[-2]))[None],
+        ], axis=0)
     gw = (eta.wwh * pinmconv).reshape(nlev, ncol)
     ww = _interp_to_height(wzlev.reshape(nlev, ncol), height, gw).reshape(nz, ny, nx)
-    ww = ww.at[0].set(eta.wwh[0] * pinmconv[0])
-    ww = ww.at[-1].set(eta.wwh[-1] * pinmconv[-1])
+    if not pressure_levels:
+        ww = ww.at[0].set(eta.wwh[0] * pinmconv[0])
+        ww = ww.at[-1].set(eta.wwh[-1] * pinmconv[-1])
 
     # --- density gradient (verttransform_ecmwf.f90:392-398) ---
     dh = height[1:] - height[:-1]
@@ -243,7 +289,8 @@ def process_eta(grid: MetGrid, eta: EtaFields, height,
         jnp.asarray(grid.akz, jnp.float32), jnp.asarray(grid.bkz, jnp.float32),
         height, eta, pvh,
         grid.dxconst, grid.dyconst, grid.dx, grid.dy, grid.ylat0,
-        xglobal=grid.xglobal, use_clwc=use_clwc)
+        xglobal=grid.xglobal, use_clwc=use_clwc,
+        pressure_levels=grid.pressure_levels)
     nspec = 1
     vdep = jnp.zeros((nspec, grid.ny, grid.nx), jnp.float32)
     return ZFields(f3d=f3d, f2d=f2d, clouds=clouds, vdep=vdep, height=height)
