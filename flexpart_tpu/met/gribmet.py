@@ -10,9 +10,10 @@ the hybrid coefficients from the PV metadata, converts accumulated
 fluxes to rates, and returns the same EtaFields contract every other
 met backend provides.
 
-Not yet handled (documented gaps vs the reference): nxshift global-grid
-rotation, GFS pressure-level files (readwind_gfs.f90), precipitation
-disaggregation across wind-field intervals.
+GFS pressure-level files are handled by met.gfsmet.  nxshift rotates
+global grids by N columns (shift_field.f90 + gridcheck_ecmwf.f90:259) to
+move the Greenwich seam; accumulated flux/precip fields are converted to
+rates here (the reference expects flex_extract-preprocessed inputs).
 """
 
 from __future__ import annotations
@@ -61,9 +62,10 @@ def _classify(m: gribio.GribMessage) -> tuple[int, float]:
     return -1, 1.0
 
 
-def grid_from_grib(path) -> MetGrid:
+def grid_from_grib(path, nxshift: int = 0) -> MetGrid:
     """Grid geometry + hybrid coefficients from the first model-level
-    message (gridcheck_ecmwf.f90 analog)."""
+    message (gridcheck_ecmwf.f90 analog).  ``nxshift`` rotates a global
+    grid's origin eastward by N columns (gridcheck_ecmwf.f90:251-270)."""
     msgs = gribio.scan(path)
     ml = next(m for m in msgs if len(m.pv) >= 4)
     nhalf = len(ml.pv) // 2
@@ -78,14 +80,22 @@ def grid_from_grib(path) -> MetGrid:
         or abs((ml.nx - 1) * ml.dlon - 360.0) < 1e-3
     nx = ml.nx + (1 if abs(ml.nx * ml.dlon - 360.0) < 1e-3 else 0)
     nlev_ec = nhalf - 1
+    xlon0 = ml.lon1 if ml.lon1 <= 180 else ml.lon1 - 360.0
+    if nxshift:
+        if not xglobal:
+            raise ValueError("nxshift requires a global grid "
+                             "(gridcheck_ecmwf.f90:263-268)")
+        xlon0 += nxshift * ml.dlon
+        if xlon0 > 180.0:
+            xlon0 -= 360.0
     return MetGrid(nx=nx, ny=ml.ny, nlev=nlev_ec + 1,
-                   xlon0=ml.lon1 if ml.lon1 <= 180 else ml.lon1 - 360.0,
+                   xlon0=xlon0,
                    ylat0=ylat0, dx=ml.dlon, dy=abs(dlat),
                    akm=akm, bkm=bkm, xglobal=xglobal)
 
 
-def eta_from_grib(path, grid: MetGrid, accum_secs: float = 3600.0
-                  ) -> EtaFields:
+def eta_from_grib(path, grid: MetGrid, accum_secs: float = 3600.0,
+                  nxshift: int = 0) -> EtaFields:
     """Assemble one wind-field time from a GRIB file
     (readwind_ecmwf.f90:240-510)."""
     msgs = gribio.scan(path)
@@ -107,9 +117,13 @@ def eta_from_grib(path, grid: MetGrid, accum_secs: float = 3600.0
               135: "wwh", 246: "clwch", 247: "clwch"}
 
     def orient(vals):
-        """South-up row order + the cyclic duplicate column when the
-        grid carries one (gridcheck_ecmwf.f90 xglobal nx+1)."""
+        """South-up row order, optional nxshift rotation (shift_field.f90:
+        new column j = old column j+nxshift), + the cyclic duplicate
+        column when the grid carries one (gridcheck_ecmwf.f90 xglobal
+        nx+1)."""
         if vals.shape[1] == nx - 1:
+            if nxshift:
+                vals = np.roll(vals, -nxshift, axis=1)
             vals = np.concatenate([vals, vals[:, :1]], axis=1)
         elif vals.shape != (ny, nx):
             raise ValueError(f"field shape {vals.shape} vs grid "
@@ -189,6 +203,7 @@ class GribMet:
     entries: tuple[WindFieldEntry, ...]
     bdate: datetime
     accum_secs: float = 3600.0
+    nxshift: int = 0
 
     def __post_init__(self):
         self.metdata = Path(self.metdata)
@@ -205,7 +220,8 @@ class GribMet:
     def grid(self) -> MetGrid:
         if self._grid is None:
             first = self.entries[0].filename
-            self._grid = grid_from_grib(self.metdata / first)
+            self._grid = grid_from_grib(self.metdata / first,
+                                        nxshift=self.nxshift)
         return self._grid
 
     def fetch(self, tsec: float) -> EtaFields:
@@ -213,4 +229,5 @@ class GribMet:
         if t not in self._by_sec:
             raise FileNotFoundError(f"no GRIB wind field for t={t}s")
         return eta_from_grib(self.metdata / self._by_sec[t],
-                             self.grid(), self.accum_secs)
+                             self.grid(), self.accum_secs,
+                             nxshift=self.nxshift)

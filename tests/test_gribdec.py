@@ -305,3 +305,27 @@ def test_grib_met_backend_end_to_end(tmp_path):
     assert np.isfinite(np.asarray(sim.particles.z)).all()
     assert float(jnp.sum(sim.particles.mass)) == pytest.approx(1.0,
                                                                rel=1e-3)
+
+
+def test_nxshift_rotation(tmp_path):
+    """nxshift rotates the grid origin (shift_field.f90): the value at a
+    fixed GEOGRAPHIC longitude must be identical however the seam is
+    placed."""
+    from flexpart_tpu.met.gribmet import eta_from_grib, grid_from_grib
+
+    f = tmp_path / "EN20200101000000"
+    _full_windfield_grib(f, 0)
+    g0 = grid_from_grib(f)
+    g9 = grid_from_grib(f, nxshift=9)      # 90 deg east
+    assert g9.xlon0 == g0.xlon0 + 90.0
+    e0 = eta_from_grib(f, g0)
+    e9 = eta_from_grib(f, g9, nxshift=9)
+    t0 = np.asarray(e0.tth[2])
+    t9 = np.asarray(e9.tth[2])
+    nxf = g0.nx - 1
+    for lon in (0.0, 120.0, 250.0):
+        j0 = int((lon - g0.xlon0) / g0.dx) % nxf
+        j9 = int((lon - g9.xlon0 + 360.0) / g9.dx) % nxf
+        np.testing.assert_allclose(t9[:, j9], t0[:, j0], rtol=1e-6)
+    # cyclic duplicate column still consistent
+    np.testing.assert_allclose(t9[:, -1], t9[:, 0])
