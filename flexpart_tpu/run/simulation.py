@@ -178,6 +178,7 @@ class Simulation:
         self.lage = jnp.asarray(
             np.asarray(self.ageclasses.lage or (999999999,), np.int32))
 
+        self._boundary = None     # regional domain-fill boundary state
         if getattr(cmd, "mdomainfill", 0) >= 1:
             # filled from the first wind field at run() start
             # (init_domainfill.f90)
@@ -400,14 +401,24 @@ class Simulation:
         if self.particles is None:
             from ..core.domainfill import init_domainfill
             zf = self._get_field(0)
-            npart_target = self.releases.boxes[0].parts
-            self.particles, self.airmass_total = init_domainfill(
+            box = self.releases.boxes[0]
+            npart_target = box.parts
+            window = (
+                (box.lon1 - self.grid.xlon0) / self.grid.dx,
+                (box.lon2 - self.grid.xlon0) / self.grid.dx,
+                (box.lat1 - self.grid.ylat0) / self.grid.dy,
+                (box.lat2 - self.grid.ylat0) / self.grid.dy,
+            )
+            (self.particles, self.airmass_total,
+             self._boundary) = init_domainfill(
                 self.grid, zf, npart_target,
                 mdomainfill=cmd.mdomainfill, nclassunc=self.nclassunc,
-                seed=self.seed, capacity=self.capacity)
+                seed=self.seed, capacity=self.capacity, window=window)
             log.info("domain-filling: %d particles, total air mass "
-                     "%.3e kg", self.particles.capacity,
-                     self.airmass_total)
+                     "%.3e kg%s", self.particles.capacity,
+                     self.airmass_total,
+                     "" if self._boundary is None
+                     else " (regional window + boundary conditions)")
 
         first_step = abs(start_itime) // abs(lsync)
         # re-derive the output window state for a mid-run resume (the
@@ -471,6 +482,24 @@ class Simulation:
 
             # releases
             self.particles = activate(self.particles, jnp.int32(itime))
+
+            # regional domain-fill boundary conditions
+            # (timemanager.f90:244-251 -> boundcond_domainfill.f90)
+            if self._boundary is not None:
+                from ..core.domainfill import boundcond_domainfill
+                bkey = jax.random.fold_in(self._key, 3000000 + istep)
+                xglobal_full = (self.grid.xglobal and float(
+                    self._boundary.xlim[1]) == self.grid.nx - 2)
+                self.particles, self._boundary = boundcond_domainfill(
+                    self.particles, self._boundary, z0, z1,
+                    jnp.int32(itime), jnp.int32(mt0), jnp.int32(mt1),
+                    bkey, jnp.int32(cmd.lsynctime),
+                    jnp.int32(min(cmd.itsplit, 499999999)),
+                    jnp.float32(self.grid.ylat0),
+                    jnp.float32(self.grid.dy),
+                    mdomainfill=cmd.mdomainfill, ldirect=cmd.ldirect,
+                    nclassunc=self.nclassunc,
+                    check_x=not xglobal_full)
 
             # backward-deposition scavenging factor for fresh particles
             # (timemanager.f90:565-598, once per particle after release)

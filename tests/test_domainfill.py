@@ -57,3 +57,52 @@ def test_domainfill_stratospheric_ozone(tmp_path):
     # ozone-proxy masses are tiny compared to air masses
     m = np.asarray(sim.particles.mass)[act]
     assert m.max() < 1e12
+
+
+def test_regional_domainfill_boundary_conditions(tmp_path):
+    """Regional window + boundcond_domainfill: a uniform westerly flow
+    removes air particles through the east edge and must recreate them
+    at the west edge at the same mass rate — the populated window stays
+    populated and per-particle mass is exactly xmassperparticle."""
+    from flexpart_tpu.met import uniform_wind_met
+
+    grid = make_grid(nx=73, ny=37, nlev=20, dx=5.0, dy=5.0)
+    cmd = Command(ibdate=20200101, ibtime=0, iedate=20200101,
+                  ietime=60000, lsynctime=900, loutstep=3600,
+                  loutaver=3600, loutsample=900, lconvection=0,
+                  mdomainfill=1)
+    # window: 60W..60E, 30S..30N
+    box = ReleaseBox(idate1=20200101, itime1=0, idate2=20200101, itime2=0,
+                     lon1=-60.0, lon2=60.0, lat1=-30.0, lat2=30.0,
+                     z1=0.0, z2=50000.0, mass=(1.0,), parts=5000)
+    rel = Releases(species=(Species(),), boxes=(box,))
+    og = OutGrid(outlon0=-60.0, outlat0=-30.0, numxgrid=24, numygrid=12,
+                 dxout=5.0, dyout=5.0, outheights=(2000.0, 50000.0))
+    sim = Simulation(cmd=cmd, releases=rel, grid=grid,
+                     met_backend=uniform_wind_met(grid, u=20.0, v=0.0),
+                     outgrid=og, outdir=str(tmp_path), write_netcdf=False,
+                     write_npz=False, seed=13, capacity=12000)
+    sim.run()
+    assert sim._boundary is not None
+    bs = sim._boundary
+    act = np.asarray(sim.particles.active)
+    n_act = int(act.sum())
+    # population is sustained (some slack: corners/edges are stochastic)
+    assert n_act > 3200
+    # all particles inside the window
+    x = np.asarray(sim.particles.x)[act]
+    y = np.asarray(sim.particles.y)[act]
+    assert (x >= float(bs.xlim[0]) - 1e-3).all()
+    assert (x <= float(bs.xlim[1]) + 1e-3).all()
+    assert (y >= float(bs.ylim[0]) - 1e-3).all()
+    assert (y <= float(bs.ylim[1]) + 1e-3).all()
+    # boundary-created particles carry exactly xmassperparticle
+    created = act & (np.asarray(sim.particles.itramem) > 0)
+    # expected inflow: u*(ps-ptop)/g*width / xpp ~ 1.3e12 kg/s
+    #  -> O(150) particles in 6 h
+    assert created.sum() > 80
+    m = np.asarray(sim.particles.mass)[created, 0]
+    np.testing.assert_allclose(m, float(bs.xpp), rtol=1e-5)
+    # accumulators stay bounded: below one particle mass per site
+    accs = np.asarray(bs.acc)
+    assert (accs <= float(bs.xpp) * 0.5 + 1e-3 * float(bs.xpp)).all()
