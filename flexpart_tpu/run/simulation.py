@@ -207,6 +207,8 @@ class Simulation:
         self._avg_counts = None
         self._height = None
         self._buf: dict[int, Any] = {}   # met_time -> ZFields
+        self._prefetch: dict[int, Any] = {}  # met_time -> Future(eta)
+        self._reader = None              # lazy background reader thread
         self._key = jax.random.PRNGKey(self.seed)
         self.timings: dict[str, float] = {}
 
@@ -323,10 +325,45 @@ class Simulation:
             self._vdep_kernel = const_kernel
 
     # ----- met double buffer (getfields.f90:93-196 analog) -----
+    def _fetch_raw(self, tsec: int):
+        """Host-side met read+assembly for one wind time (the expensive,
+        device-free part of getfields)."""
+        eta = self.met_backend.fetch(float(tsec))
+        etan = (self.met_nests[0].fetch(float(tsec))
+                if self.nest_grid is not None else None)
+        return eta, etan
+
+    def _prefetch_async(self, tsec: int):
+        """Schedule a background read of a future wind time — the
+        reference's dedicated MPI reader rank with numwfmem=3
+        (mpi_mod.f90:1598-2392, README_PARALLEL.md:96-106) becomes one
+        daemon thread overlapping host GRIB decode/assembly with device
+        compute."""
+        if tsec in self._buf or tsec in self._prefetch:
+            return
+        try:
+            # probe availability without reading (missing times raise)
+            import concurrent.futures
+            if self._reader is None:
+                self._reader = concurrent.futures.ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="metreader")
+            self._prefetch[tsec] = self._reader.submit(
+                self._fetch_raw, tsec)
+        except Exception:
+            pass
+
     def _get_field(self, tsec: int):
         if tsec not in self._buf:
             t0 = _time.perf_counter()
-            eta = self.met_backend.fetch(float(tsec))
+            fut = self._prefetch.pop(tsec, None)
+            etan_pre = None
+            if fut is not None:
+                try:
+                    eta, etan_pre = fut.result()
+                except Exception:
+                    eta = self.met_backend.fetch(float(tsec))
+            else:
+                eta = self.met_backend.fetch(float(tsec))
             if self.bkdep == 3:
                 # release-point precip series (getfields.f90:141-143)
                 from pathlib import Path as _P
@@ -354,7 +391,8 @@ class Simulation:
             # (verttransform_nests.f90 contract)
             zn = None
             if self.nest_grid is not None:
-                etan = self.met_nests[0].fetch(float(tsec))
+                etan = (etan_pre if etan_pre is not None
+                        else self.met_nests[0].fetch(float(tsec)))
                 pvn = calcpv(self.nest_grid, etan)
                 zn = process_eta(self.nest_grid, etan, self._height,
                                  pvh=pvn, use_clwc=self.use_clwc)
@@ -381,7 +419,12 @@ class Simulation:
         if itime % wi == 0 and self.cmd.ldirect < 0:
             t0 = itime - wi
         t1 = t0 + wi
-        return self._get_field(t0), self._get_field(t1), t0, t1
+        f0, f1 = self._get_field(t0), self._get_field(t1)
+        # read the NEXT field in the background while particles advance
+        tn = t1 + wi if self.cmd.ldirect > 0 else t0 - wi
+        if abs(tn) <= abs(self.cmd.ideltas) + wi:
+            self._prefetch_async(tn)
+        return f0, f1, t0, t1
 
     # ----- main loop -----
     def run(self, progress: bool = False, start_itime: int = 0):
