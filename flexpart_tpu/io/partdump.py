@@ -176,6 +176,12 @@ def save_checkpoint(path, sim, itime: int):
         # seen (verttransform_ecmwf.f90:153-165 one-time init); persist
         # it so a resumed run interpolates on the identical grid
         state["height"] = np.asarray(sim._height)
+    if getattr(sim, "_boundary", None) is not None:
+        # regional domain-fill boundary state: geometry + accumulated
+        # inflow mass (the reference's unitboundcond dump,
+        # init_domainfill.f90:400-410)
+        for name, arr in sim._boundary._asdict().items():
+            state["bnd_" + name] = np.asarray(arr)
     np.savez_compressed(path, **state)
 
 
@@ -194,6 +200,11 @@ def load_checkpoint(path, sim):
         sim._height = jnp.asarray(d["height"])
     if "cbmf" in d and getattr(sim, "use_convection", False):
         sim.cbmf = jnp.asarray(d["cbmf"])
+    if "bnd_acc" in d:
+        from ..core.domainfill import BoundaryState
+        sim._boundary = BoundaryState(**{
+            name: jnp.asarray(d["bnd_" + name])
+            for name in BoundaryState._fields})
     return int(d["itime"])
 
 

@@ -106,3 +106,42 @@ def test_regional_domainfill_boundary_conditions(tmp_path):
     # accumulators stay bounded: below one particle mass per site
     accs = np.asarray(bs.acc)
     assert (accs <= float(bs.xpp) * 0.5 + 1e-3 * float(bs.xpp)).all()
+
+
+def test_regional_boundary_state_checkpointed(tmp_path):
+    """The boundary site table + flux accumulators survive a
+    checkpoint/restore round trip (the reference's unitboundcond dump,
+    init_domainfill.f90:400-410)."""
+    from flexpart_tpu.met import uniform_wind_met
+
+    grid = make_grid(nx=73, ny=37, nlev=12, dx=5.0, dy=5.0)
+    cmd = Command(ibdate=20200101, ibtime=0, iedate=20200101,
+                  ietime=20000, lsynctime=900, loutstep=3600,
+                  loutaver=3600, loutsample=900, lconvection=0,
+                  mdomainfill=1)
+    box = ReleaseBox(idate1=20200101, itime1=0, idate2=20200101, itime2=0,
+                     lon1=-60.0, lon2=60.0, lat1=-30.0, lat2=30.0,
+                     z1=0.0, z2=50000.0, mass=(1.0,), parts=2000)
+    rel = Releases(species=(Species(),), boxes=(box,))
+    og = OutGrid(outlon0=-60.0, outlat0=-30.0, numxgrid=24, numygrid=12,
+                 dxout=5.0, dyout=5.0, outheights=(2000.0, 50000.0))
+
+    def mk(out):
+        return Simulation(cmd=cmd, releases=rel, grid=grid,
+                          met_backend=uniform_wind_met(grid, u=25.0),
+                          outgrid=og, outdir=str(out), write_netcdf=False,
+                          write_npz=False, seed=13, capacity=6000)
+
+    sim = mk(tmp_path / "a")
+    sim.run()
+    ck = tmp_path / "ck.npz"
+    sim.save_checkpoint(ck, 20000 * 0 + 7200)
+    sim2 = mk(tmp_path / "b")
+    t = sim2.load_checkpoint(ck)
+    assert t == 7200
+    assert sim2._boundary is not None
+    np.testing.assert_array_equal(np.asarray(sim2._boundary.acc),
+                                  np.asarray(sim._boundary.acc))
+    np.testing.assert_array_equal(np.asarray(sim2._boundary.area),
+                                  np.asarray(sim._boundary.area))
+    assert float(sim2._boundary.xpp) == float(sim._boundary.xpp)
