@@ -143,3 +143,159 @@ def interp_tile(ft: FieldTiles, tile_id, field_idx: int, x, y, kz):
     v11 = f[n, jy + 1, ix + 1]
     return ((1 - ddx) * (1 - ddy) * v00 + ddx * (1 - ddy) * v10
             + (1 - ddx) * ddy * v01 + ddx * ddy * v11)
+
+
+# ---------------------------------------------------------------------------
+# particle migration between tiles (mpif_redist_part replacement):
+# after a tiled advance step, particles that left their tile's owned
+# region move to the owning neighbour with ppermute ring passes — one in
+# x (cyclic), one in y.  The CFL halo guarantees at most one tile of
+# travel per step, so a single +-1 exchange per axis is complete.
+# ---------------------------------------------------------------------------
+
+import jax
+from jax import lax
+
+from ..core.state import ITRA_INACTIVE, Particles
+
+AX_TY = "ty"
+AX_TX = "tx"
+
+
+def _pack(p: Particles, mask, m: int):
+    """First-m masked particles into a fixed-size message buffer.
+    Returns (msg Particles of length m, valid (m,), sent (N,))."""
+    rank = jnp.cumsum(mask) - 1
+    can = mask & (rank < m)
+    slot = jnp.where(can, rank, m)
+    msg = jax.tree.map(
+        lambda a: jnp.zeros((m,) + a.shape[1:], a.dtype
+                            ).at[slot].set(a, mode="drop"), p)
+    valid = jnp.zeros(m, bool).at[jnp.where(can, slot, m)].set(
+        True, mode="drop")
+    return msg, valid, can
+
+
+def _deactivate(p: Particles, sent):
+    return p._replace(active=p.active & ~sent,
+                      itra=jnp.where(sent, ITRA_INACTIVE, p.itra))
+
+
+def _merge(p: Particles, msg: Particles, valid):
+    """Scatter valid incoming particles into free slots (prefix-rank
+    matching, same pattern as core/split.py)."""
+    n = p.capacity
+    free = (~p.active) & ((p.itra == ITRA_INACTIVE)
+                          | (p.itra != p.itramem))
+    free_rank = jnp.cumsum(free) - 1
+    n_free = free_rank[-1] + 1
+    slot_of_rank = jnp.full(n, n, jnp.int32).at[
+        jnp.where(free, free_rank, n)].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
+    in_rank = jnp.cumsum(valid) - 1
+    granted = valid & (in_rank < n_free)
+    slot = jnp.where(granted,
+                     slot_of_rank[jnp.clip(in_rank, 0, n - 1)], n)
+    out = {}
+    for name in Particles._fields:
+        arr = getattr(p, name)
+        out[name] = arr.at[slot].set(getattr(msg, name), mode="drop")
+    merged = Particles(**out)
+    n_dropped = jnp.sum(valid) - jnp.sum(granted)
+    return merged, n_dropped
+
+
+def _exchange(p: Particles, off, axis: str, sign: int, m: int):
+    """Send particles with tile offset ``sign`` one step along ``axis``."""
+    n_ax = lax.axis_size(axis)
+    mask = p.active & (off == sign)
+    msg, valid, sent = _pack(p, mask, m)
+    p = _deactivate(p, sent)
+    perm = [(i, (i + sign) % n_ax) for i in range(n_ax)]
+    msg_r = jax.tree.map(lambda a: lax.ppermute(a, axis, perm), msg)
+    valid_r = lax.ppermute(valid, axis, perm)
+    p, n_drop = _merge(p, msg_r, valid_r)
+    n_stuck = jnp.sum(mask & ~sent)      # message buffer overflow
+    return p, n_drop + n_stuck
+
+
+def migrate_local(p: Particles, ntx: int, nty: int, tx: int, ty: int,
+                  msg_cap: int):
+    """One migration round for THIS tile's particle buffer; call inside
+    shard_map over a ("ty","tx") mesh.  Returns (particles, n_unplaced)
+    where n_unplaced counts particles that could not be moved this round
+    (message-buffer overflow or full destination) — they stay put /
+    vanish from the count and retry next step via the halo slack."""
+    it = lax.axis_index(AX_TX)
+    jt = lax.axis_index(AX_TY)
+    n_bad = jnp.int32(0)
+    # x pass (cyclic)
+    dest_it = jnp.clip((p.x // tx).astype(jnp.int32), 0, ntx - 1)
+    off = ((dest_it - it + ntx // 2 + ntx) % ntx) - ntx // 2
+    off = jnp.where(p.active, off, 0)
+    for sign in (1, -1):
+        if ntx > 1:
+            p, nb = _exchange(p, off, AX_TX, sign, msg_cap)
+            n_bad = n_bad + nb
+            dest_it = jnp.clip((p.x // tx).astype(jnp.int32), 0, ntx - 1)
+            off = ((dest_it - it + ntx // 2 + ntx) % ntx) - ntx // 2
+            off = jnp.where(p.active, off, 0)
+    # y pass (no wrap: pole BCs keep y in range)
+    dest_jt = jnp.clip((p.y // ty).astype(jnp.int32), 0, nty - 1)
+    offy = jnp.where(p.active, dest_jt - jt, 0)
+    for sign in (1, -1):
+        if nty > 1:
+            p, nb = _exchange(p, offy, AX_TY, sign, msg_cap)
+            n_bad = n_bad + nb
+            dest_jt = jnp.clip((p.y // ty).astype(jnp.int32), 0, nty - 1)
+            offy = jnp.where(p.active, dest_jt - jt, 0)
+    return p, lax.psum(n_bad, (AX_TY, AX_TX))
+
+
+def make_migrate(mesh, ntx: int, nty: int, tx: int, ty: int,
+                 msg_cap: int = 4096):
+    """Jitted migration over a 2-D ("ty","tx") mesh: particle buffers
+    sharded one-tile-per-device along their capacity axis."""
+    from jax.sharding import PartitionSpec as P
+    p_specs = Particles(*[P((AX_TY, AX_TX))] * len(Particles._fields))
+
+    def _fn(p):
+        return migrate_local(p, ntx, nty, tx, ty, msg_cap)
+
+    return jax.jit(jax.shard_map(
+        _fn, mesh=mesh, in_specs=(p_specs,),
+        out_specs=(p_specs, P()),
+    ))
+
+
+def shard_by_tile(p_np: dict, ft: FieldTiles, local_cap: int):
+    """Host-side: group a global particle population by owning tile into
+    a (ntiles*local_cap,) SoA layout (tile-major) ready to shard."""
+    import numpy as np
+    x = np.asarray(p_np["x_hi"])
+    y = np.asarray(p_np["y_hi"])
+    act = np.asarray(p_np["active"])
+    it = np.clip((x // ft.tx).astype(int), 0, ft.ntx - 1)
+    jt = np.clip((y // ft.ty).astype(int), 0, ft.nty - 1)
+    tid = jt * ft.ntx + it
+    out = {}
+    ntile = ft.ntiles
+    for name, arr in p_np.items():
+        arr = np.asarray(arr)
+        buf = np.zeros((ntile * local_cap,) + arr.shape[1:], arr.dtype)
+        if name == "itra":
+            buf[:] = ITRA_INACTIVE
+        out[name] = buf
+    fill = np.zeros(ntile, int)
+    order = np.argsort(tid, kind="stable")
+    for i in order:
+        if not act[i]:
+            continue
+        t = tid[i]
+        if fill[t] >= local_cap:
+            raise ValueError(f"tile {t} over local capacity {local_cap}")
+        j = t * local_cap + fill[t]
+        for name in out:
+            out[name][j] = np.asarray(p_np[name])[i]
+        fill[t] += 1
+    return out

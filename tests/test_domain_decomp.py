@@ -90,3 +90,69 @@ def test_pole_clamp_and_seam_wrap():
     # west halo columns wrap to the east end of the grid
     np.testing.assert_array_equal(t0[2:, 0], f[0, 0, :6 + 2, 22])
     np.testing.assert_array_equal(t0[2:, 1], f[0, 0, :6 + 2, 23])
+
+
+def test_ppermute_migration():
+    """Particles that cross tile edges move to the owning neighbour via
+    the ppermute ring passes, with nothing lost and state intact."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from flexpart_tpu.core.state import empty_particles
+    from flexpart_tpu.parallel.domain import (make_migrate, shard_by_tile,
+                                              AX_TY, AX_TX)
+
+    nty, ntx = 2, 4
+    tx, ty = 18, 18                 # grid 72 x 36 split 4 x 2
+    local_cap = 64
+    devs = np.asarray(jax.devices()[:8]).reshape(nty, ntx)
+    mesh = Mesh(devs, (AX_TY, AX_TX))
+
+    rng = np.random.default_rng(3)
+    n = 150
+    p = empty_particles(nty * ntx * local_cap)
+    d = {k: np.asarray(getattr(p, k)) for k in p._fields}
+    # start positions anywhere; npoint = unique id
+    x = rng.uniform(0, 71.99, n).astype(np.float32)
+    y = rng.uniform(0, 35.99, n).astype(np.float32)
+    src = {k: v.copy() for k, v in d.items()}
+    for k, v in (("x_hi", x), ("y_hi", y)):
+        src[k][:n] = v
+    src["active"][:n] = True
+    src["itra"][:n] = 0
+    src["npoint"][:n] = np.arange(1, n + 1)
+    src["mass"][:n] = rng.uniform(0.5, 2.0, (n, 1)).astype(np.float32)
+
+    # shard by the tile that owns the ORIGINAL position, then displace
+    # every particle by up to one tile so many cross edges
+    from flexpart_tpu.parallel.domain import FieldTiles
+    ft = FieldTiles(tiles=jnp.zeros(1), x0=jnp.zeros(1), y0=jnp.zeros(1),
+                    ntx=ntx, nty=nty, tx=tx, ty=ty, halo=2)
+    tiled = shard_by_tile(src, ft, local_cap)
+    dx = rng.uniform(-tx, tx, nty * ntx * local_cap).astype(np.float32)
+    dy = rng.uniform(-ty, ty, nty * ntx * local_cap).astype(np.float32)
+    tiled["x_hi"] = (tiled["x_hi"] + dx * tiled["active"]) % 72.0
+    tiled["y_hi"] = np.clip(tiled["y_hi"] + dy * tiled["active"],
+                            0.0, 35.99)
+
+    sh = NamedSharding(mesh, P((AX_TY, AX_TX)))
+    from flexpart_tpu.core.state import Particles
+    pt = Particles(**{k: jax.device_put(jnp.asarray(v), sh)
+                      for k, v in tiled.items()})
+    migrate = make_migrate(mesh, ntx, nty, tx, ty, msg_cap=64)
+    out, n_bad = migrate(pt)
+    assert int(n_bad) == 0
+    act = np.asarray(out.active)
+    assert act.sum() == n               # nothing lost
+    xs = np.asarray(out.x_hi)[act]
+    ys = np.asarray(out.y_hi)[act]
+    gidx = np.nonzero(act)[0]
+    holder = gidx // local_cap          # tile that physically holds it
+    owner = (np.clip((ys // ty).astype(int), 0, nty - 1) * ntx
+             + np.clip((xs // tx).astype(int), 0, ntx - 1))
+    np.testing.assert_array_equal(holder, owner)
+    # state travels with the particle: mass keyed by npoint id
+    ids = np.asarray(out.npoint)[act]
+    m_out = np.asarray(out.mass)[act, 0]
+    m_in = src["mass"][:n, 0]
+    order = np.argsort(ids)
+    np.testing.assert_allclose(m_out[order], m_in[np.sort(ids) - 1])
