@@ -55,6 +55,9 @@ class StepConfig(NamedTuple):
     nest_ny: int = 0
     polar: bool = False         # global grid reaching the poles: use the
     #                             stereographic update poleward of 75 deg
+    tile_mode: bool = False     # domain-decomposed tile step: positions
+    #                             are tile-local, BCs/exits are applied
+    #                             GLOBALLY by the caller (parallel/domain)
 
 
 class StepParams(NamedTuple):
@@ -642,6 +645,10 @@ def _apply_bcs(cfg: StepConfig, prm: StepParams, x_hi, x_lo, y_hi, y_lo):
     plain f32 only for particles that actually wrap/mirror."""
     x = x_hi + x_lo
     y = y_hi + y_lo
+    if cfg.tile_mode:
+        # tile-local coordinates: the halo absorbs the step displacement;
+        # wrap/mirror/exit happen in global coordinates in the caller
+        return x_hi, x_lo, y_hi, y_lo, jnp.zeros_like(x, bool)
     nxm = jnp.float32(cfg.nx - 1)
     nym = jnp.float32(cfg.ny - 1)
     eps = jnp.float32(cfg.nx / 3.0e5)

@@ -299,3 +299,104 @@ def shard_by_tile(p_np: dict, ft: FieldTiles, local_cap: int):
             out[name][j] = np.asarray(p_np[name])[i]
         fill[t] += 1
     return out
+
+
+# ---------------------------------------------------------------------------
+# tiled advance: the full distributed step — each device advances its
+# particles against ITS haloed field tile (tile-local coordinates, BCs
+# deferred), then global wrap/pole/exit handling, then ppermute migration.
+# ---------------------------------------------------------------------------
+
+from ..core.advance import StepConfig, StepParams, _apply_bcs, advance_all
+from ..met.fields import ZFields
+
+
+def _tile_indices(ny: int, nx_field: int, nty: int, ntx: int, halo: int,
+                  xglobal: bool):
+    """Row/col gather maps for every tile: rows (nty, ty+2h) pole-clamped,
+    cols (ntx, tx+2h) seam-wrapped."""
+    ty = ny // nty
+    tx = nx_field // ntx
+    rows = np.stack([np.clip(np.arange(j * ty - halo, j * ty + ty + halo),
+                             0, ny - 1) for j in range(nty)])
+    cols = []
+    for i in range(ntx):
+        c = np.arange(i * tx - halo, i * tx + tx + halo)
+        cols.append(c % nx_field if xglobal
+                    else np.clip(c, 0, nx_field - 1))
+    return rows, np.stack(cols)
+
+
+def decompose_zfields(zf: ZFields, nty: int, ntx: int, halo: int,
+                      nx_field: int, xglobal: bool) -> ZFields:
+    """Tile every component of a ZFields stack; each output array gains a
+    leading (nty*ntx) tile axis to shard with P(("ty","tx")).  height is
+    column-independent and stays replicated."""
+    rows, cols = _tile_indices(zf.f3d.shape[-2], nx_field, nty, ntx,
+                               halo, xglobal)
+
+    def tile(arr):
+        a = np.asarray(arr)
+        out = np.stack([a[..., rows[jt][:, None], cols[it][None, :]]
+                        for jt in range(nty) for it in range(ntx)])
+        return jnp.asarray(out)
+
+    return ZFields(f3d=tile(zf.f3d), f2d=tile(zf.f2d),
+                   clouds=tile(zf.clouds),
+                   vdep=None if zf.vdep is None else tile(zf.vdep),
+                   height=zf.height)
+
+
+def make_tiled_advance(mesh, cfg: StepConfig, ntx: int, nty: int,
+                       tx: int, ty: int, halo: int, msg_cap: int = 4096):
+    """Jitted distributed step over a ("ty","tx") mesh: particles and
+    field tiles sharded one-tile-per-device.  Returns
+    (p, z0_tiles, z1_tiles, itime, mt0, mt1, key, prm) ->
+    (p, n_active, n_unplaced)."""
+    from jax.sharding import PartitionSpec as P
+    txh = tx + 2 * halo
+    tyh = ty + 2 * halo
+    cfg_t = cfg._replace(nx=txh, ny=tyh, xglobal=False, tile_mode=True,
+                         polar=False, nest_nx=0, nest_ny=0)
+    p_specs = Particles(*[P((AX_TY, AX_TX))] * len(Particles._fields))
+    z_specs = ZFields(f3d=P((AX_TY, AX_TX)), f2d=P((AX_TY, AX_TX)),
+                      clouds=P((AX_TY, AX_TX)),
+                      vdep=P((AX_TY, AX_TX)), height=P())
+
+    def _local(p, z0t, z1t, itime, mt0, mt1, key, prm):
+        it = lax.axis_index(AX_TX)
+        jt = lax.axis_index(AX_TY)
+        x0 = (it * tx - halo).astype(jnp.float32)
+        y0 = (jt * ty - halo).astype(jnp.float32)
+        key = jax.random.fold_in(key, jt * ntx + it)
+        z0l = ZFields(f3d=z0t.f3d[0], f2d=z0t.f2d[0],
+                      clouds=z0t.clouds[0],
+                      vdep=None if z0t.vdep is None else z0t.vdep[0],
+                      height=z0t.height)
+        z1l = ZFields(f3d=z1t.f3d[0], f2d=z1t.f2d[0],
+                      clouds=z1t.clouds[0],
+                      vdep=None if z1t.vdep is None else z1t.vdep[0],
+                      height=z1t.height)
+        prm_l = prm._replace(ylat0=prm.ylat0 + y0 * prm.dy)
+        pl = p._replace(x_hi=p.x_hi - x0, y_hi=p.y_hi - y0)
+        pl, diag = advance_all(pl, z0l, z1l, itime, mt0, mt1, key,
+                               cfg_t, prm_l)
+        pg = pl._replace(x_hi=pl.x_hi + x0, y_hi=pl.y_hi + y0)
+        # global wrap / pole mirror / domain exit (advance.f90:784-808)
+        xh, xl, yh, yl, exited = _apply_bcs(cfg, prm, pg.x_hi, pg.x_lo,
+                                            pg.y_hi, pg.y_lo)
+        kill = pg.active & exited
+        pg = pg._replace(
+            x_hi=xh, x_lo=xl, y_hi=yh, y_lo=yl,
+            active=pg.active & ~kill,
+            itra=jnp.where(kill, ITRA_INACTIVE, pg.itra))
+        pg, n_bad = migrate_local(pg, ntx, nty, tx, ty, msg_cap)
+        n_act = lax.psum(jnp.sum(pg.active.astype(jnp.int32)),
+                         (AX_TY, AX_TX))
+        return pg, n_act, n_bad
+
+    return jax.jit(jax.shard_map(
+        _local, mesh=mesh,
+        in_specs=(p_specs, z_specs, z_specs, P(), P(), P(), P(), P()),
+        out_specs=(p_specs, P(), P()),
+    ))

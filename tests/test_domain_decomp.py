@@ -156,3 +156,95 @@ def test_ppermute_migration():
     m_in = src["mass"][:n, 0]
     order = np.argsort(ids)
     np.testing.assert_allclose(m_out[order], m_in[np.sort(ids) - 1])
+
+
+def test_tiled_advance_matches_global():
+    """The full distributed step (tile-local advance + global BCs +
+    migration) must reproduce the single-device global advance exactly
+    (deterministic turboff config, uniform wind)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from flexpart_tpu.core import StepConfig, StepParams, advance_all
+    from flexpart_tpu.core.state import empty_particles
+    from flexpart_tpu.met import (calcpar, compute_heights, make_grid,
+                                  process_eta, uniform_wind_met)
+    from flexpart_tpu.parallel.domain import (AX_TX, AX_TY,
+                                              decompose_zfields,
+                                              make_tiled_advance,
+                                              shard_by_tile, FieldTiles)
+
+    grid = make_grid(nx=73, ny=36, nlev=10, dx=5.0, dy=5.0,
+                     ylat0=-87.5, xglobal=True)
+    met = uniform_wind_met(grid, u=25.0, v=5.0)
+    eta = met.fetch(0.0)
+    height = compute_heights(grid, eta)
+    zf = calcpar(grid, eta, process_eta(grid, eta, height))
+    cfg = StepConfig(nx=grid.nx, ny=grid.ny, nz=grid.nlev, xglobal=True,
+                     ldirect=1, turbswitch=False, ifine=1, method=0,
+                     turboff=True)
+    prm = StepParams.make(dx=5.0, dy=5.0, ylat0=-87.5, xlon0=-180.0,
+                          dxconst=grid.dxconst, dyconst=grid.dyconst,
+                          lsynctime=900, fine=1.0)
+    rng = np.random.default_rng(7)
+    n = 200
+    x = rng.uniform(0.0, 71.9, n).astype(np.float32)
+    y = rng.uniform(2.0, 33.9, n).astype(np.float32)
+    z = rng.uniform(100.0, 9000.0, n).astype(np.float32)
+
+    # --- global reference run ---
+    pg = empty_particles(n)._replace(
+        x_hi=jnp.asarray(x), y_hi=jnp.asarray(y), z=jnp.asarray(z),
+        itra=jnp.zeros(n, jnp.int32), mass=jnp.ones((n, 1), jnp.float32),
+        npoint=jnp.arange(1, n + 1, dtype=jnp.int32),
+        active=jnp.ones(n, bool))
+    key = jax.random.PRNGKey(0)
+    qg = pg
+    steps = 6
+    for i in range(steps):
+        qg, _ = advance_all(qg, zf, zf, jnp.int32(i * 900), jnp.int32(0),
+                            jnp.int32(36000000),
+                            jax.random.fold_in(key, i), cfg, prm)
+
+    # --- tiled run on a 2x4 mesh ---
+    nty, ntx = 2, 4
+    tx, ty = 18, 18
+    halo = 4
+    local_cap = 128
+    devs = np.asarray(jax.devices()[:8]).reshape(nty, ntx)
+    mesh = Mesh(devs, (AX_TY, AX_TX))
+    sh = NamedSharding(mesh, P((AX_TY, AX_TX)))
+    zt = decompose_zfields(zf, nty, ntx, halo, nx_field=72, xglobal=True)
+    from flexpart_tpu.met.fields import ZFields
+    zt = ZFields(*[jax.device_put(a, sh) if i < 4 else a
+                   for i, a in enumerate(zt)])
+    src = {k: np.asarray(getattr(pg, k)) for k in pg._fields}
+    ftdims = FieldTiles(tiles=jnp.zeros(1), x0=jnp.zeros(1),
+                        y0=jnp.zeros(1), ntx=ntx, nty=nty, tx=tx, ty=ty,
+                        halo=halo)
+    tiled = shard_by_tile(src, ftdims, local_cap)
+    from flexpart_tpu.core.state import Particles
+    pt = Particles(**{k: jax.device_put(jnp.asarray(v), sh)
+                      for k, v in tiled.items()})
+    step = make_tiled_advance(mesh, cfg, ntx, nty, tx, ty, halo,
+                              msg_cap=128)
+    for i in range(steps):
+        pt, n_act, n_bad = step(pt, zt, zt, jnp.int32(i * 900),
+                                jnp.int32(0), jnp.int32(36000000),
+                                jax.random.fold_in(key, i), prm)
+        assert int(n_bad) == 0
+    assert int(n_act) == n
+
+    # match by particle id
+    act = np.asarray(pt.active)
+    ids = np.asarray(pt.npoint)[act]
+    xs = np.asarray(pt.x_hi)[act] + np.asarray(pt.x_lo)[act]
+    ys = np.asarray(pt.y_hi)[act] + np.asarray(pt.y_lo)[act]
+    zs = np.asarray(pt.z)[act]
+    o = np.argsort(ids)
+    xg = np.asarray(qg.x_hi) + np.asarray(qg.x_lo)
+    yg = np.asarray(qg.y_hi) + np.asarray(qg.y_lo)
+    assert np.asarray(qg.active).all()
+    np.testing.assert_allclose(xs[o], xg[np.sort(ids) - 1], atol=2e-3)
+    np.testing.assert_allclose(ys[o], yg[np.sort(ids) - 1], atol=2e-3)
+    np.testing.assert_allclose(zs[o], np.asarray(qg.z)[np.sort(ids) - 1],
+                               atol=0.5)
