@@ -36,7 +36,7 @@ class Command:
     lsubgrid: int = 1
     lconvection: int = 1
     lagespectra: int = 0
-    ipin: int = 1
+    ipin: int = 0               # warm start off by default (options/COMMAND:25)
     ioutputforeachrelease: int = 1
     iflux: int = 0
     mdomainfill: int = 0

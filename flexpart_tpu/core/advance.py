@@ -271,7 +271,7 @@ SWITCHNORTH = 75.0       # polar-cap latitude thresholds (par_mod.f90:123)
 SWITCHSOUTH = -75.0
 
 
-def _polar_update(prm: StepParams, x, y, dxsave, dysave, ldirf):
+def _polar_update(prm: StepParams, x, y, dxsave, dysave, ldirf, nxm):
     """Polar-stereographic position update for particles poleward of
     +-75 deg (advance.f90:754-778).  The reference precomputes rotated
     uupol/vvpol grids and goes through the cmapf_mod projection package
@@ -317,7 +317,9 @@ def _polar_update(prm: StepParams, x, y, dxsave, dysave, ldirf):
     lon_new = jnp.where(north, lon_n, lon_s) / PI180
     # back to mother-grid units; wrap into the grid's lon window
     xg = (lon_new - prm.xlon0_pol) / prm.dx
-    nxm = (360.0 / prm.dx)
+    # wrap with the grid's actual cyclic width (cfg.nx-1), matching
+    # _apply_bcs — recomputing 360/dx in f32 can drift off nx-1 for
+    # resolutions that don't divide 360 exactly (e.g. 0.7 deg)
     xg = jnp.where(xg < 0.0, xg + nxm, xg)
     xg = jnp.where(xg >= nxm, xg - nxm, xg)
     yg = (lat_new - prm.ylat0) / prm.dy
@@ -516,7 +518,7 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     if cfg.polar:
         # stereographic update inside the polar caps (advance.f90:754-778)
         xg_p, yg_p, pn, ps = _polar_update(prm, x, y, dxsave, dysave,
-                                           ldirf)
+                                           ldirf, jnp.float32(cfg.nx - 1))
         pol = pn | ps
         x_hi = jnp.where(pol, xg_p, x_hi)
         x_lo = jnp.where(pol, 0.0, x_lo)
@@ -568,7 +570,8 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     yc_hi, yc_lo = ds_add(y_hi, y_lo, dv * prm.dyconst * dtl * ldirf)
     if cfg.polar:
         xg_c, yg_c, pn2, ps2 = _polar_update(prm, xn, yn, du * dtl,
-                                             dv * dtl, ldirf)
+                                             dv * dtl, ldirf,
+                                             jnp.float32(cfg.nx - 1))
         pol2 = pn2 | ps2
         xc_hi = jnp.where(pol2, xg_c, xc_hi)
         xc_lo = jnp.where(pol2, 0.0, xc_lo)

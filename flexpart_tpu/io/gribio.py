@@ -60,7 +60,7 @@ class GribMessage:
     length: int
     edition: int
     param: int            # GRIB1: indicatorOfParameter;
-                          # GRIB2: discipline*10000+category*100+number
+                          # GRIB2: discipline*1000000+category*1000+number
     level_type: int
     level: int
     nx: int

@@ -57,9 +57,9 @@ XMWML = 0.622       # Mw/Mdry-air
 def _role(m: gribio.GribMessage) -> str | None:
     if m.edition != 2:
         return None
-    disc = m.param // 10000
-    cat = (m.param // 100) % 100
-    num = m.param % 100
+    disc = m.param // 1000000
+    cat = (m.param // 1000) % 1000
+    num = m.param % 1000
     return _G2_GFS.get((disc, cat, num, m.level_type))
 
 

@@ -48,9 +48,9 @@ def _classify(m: gribio.GribMessage) -> tuple[int, float]:
     """(grib1 indicator, conversion factor) for one message."""
     if m.edition == 1:
         return m.param, 1.0
-    disc = m.param // 10000
-    cat = (m.param // 100) % 100
-    num = m.param % 100
+    disc = m.param // 1000000
+    cat = (m.param // 1000) % 1000
+    num = m.param % 1000
     if disc == 2 and cat == 0 and num == 0 and m.level_type == 1:
         return 172, 1.0                              # LSM
     for key, ind in _G2_TABLE.items():

@@ -426,8 +426,27 @@ class Simulation:
             self._prefetch_async(tn)
         return f0, f1, t0, t1
 
+    def close(self):
+        """Stop the background met reader: drop pending prefetches (and
+        retrieve their exceptions) so interpreter exit isn't delayed by
+        reads past the run end."""
+        for fut in self._prefetch.values():
+            fut.cancel()
+            if fut.done() and not fut.cancelled():
+                fut.exception()          # consume, don't raise
+        self._prefetch.clear()
+        if self._reader is not None:
+            self._reader.shutdown(wait=False, cancel_futures=True)
+            self._reader = None
+
     # ----- main loop -----
     def run(self, progress: bool = False, start_itime: int = 0):
+        try:
+            return self._run(progress, start_itime)
+        finally:
+            self.close()
+
+    def _run(self, progress: bool = False, start_itime: int = 0):
         cmd = self.cmd
         lsync = cmd.lsynctime * cmd.ldirect
         ideltas = cmd.ideltas

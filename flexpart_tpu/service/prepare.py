@@ -94,14 +94,18 @@ def generate_available(path: Path, met_files: list[Path],
     if time_of is None:
         # default: trailing YYYYMMDDHH[MMSS] digits of the filename
         def time_of(p):
-            digits = re.findall(r"(\d{10,14})", p.name)[-1]
-            digits = digits.ljust(14, "0")
-            return datetime.strptime(digits, "%Y%m%d%H%M%S")
+            digits = re.findall(r"(\d{10,14})", p.name)
+            if not digits:
+                return None          # not a met file (README, checksums…)
+            return datetime.strptime(digits[-1].ljust(14, "0"),
+                                     "%Y%m%d%H%M%S")
     lines = ["DATE     TIME        FILENAME\n",
              "YYYYMMDD HHMISS\n",
              "________ ______      __________________\n"]
     for f in sorted(met_files, key=lambda p: p.name):
         t = time_of(f)
+        if t is None:
+            continue
         lines.append(f"{t:%Y%m%d} {t:%H%M%S}      {f.name}      "
                      "ON DISK\n")
     Path(path).write_text("".join(lines))
@@ -113,12 +117,19 @@ def select_files(met_files, start: datetime, end: datetime, time_of=None,
     (prepare_flexpart.py select_files / _select_keys_in_window)."""
     if time_of is None:
         def time_of(p):
-            digits = re.findall(r"(\d{10,14})", Path(p).name)[-1]
-            return datetime.strptime(digits.ljust(14, "0"),
+            digits = re.findall(r"(\d{10,14})", Path(p).name)
+            if not digits:
+                return None          # skip stray non-met files
+            return datetime.strptime(digits[-1].ljust(14, "0"),
                                      "%Y%m%d%H%M%S")
     lo = start - timedelta(hours=margin_hours)
     hi = end + timedelta(hours=margin_hours)
-    return [f for f in met_files if lo <= time_of(f) <= hi]
+    out = []
+    for f in met_files:
+        t = time_of(f)
+        if t is not None and lo <= t <= hi:
+            out.append(f)
+    return out
 
 
 def write_pathnames(job_dir: Path, input_dir: Path, output_dir: Path,

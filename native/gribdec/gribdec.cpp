@@ -108,7 +108,7 @@ struct BitReader {
 
 struct MsgInfo {
     int64_t edition = 0;
-    int64_t param = 0;        // g1: indicator; g2: disc*10000+cat*100+num
+    int64_t param = 0;        // g1: indicator; g2: disc*1000000+cat*1000+num
     int64_t level_type = 0;
     int64_t level = 0;
     int64_t nx = 0, ny = 0;
@@ -431,7 +431,10 @@ bool parse_message(const uint8_t* msg, size_t len, MsgInfo& info,
             int tmpl = (int)r.bytes(2);
             int cat = (int)r.bytes(1);
             int num = (int)r.bytes(1);
-            info.param = (int64_t)discipline * 10000 + cat * 100 + num;
+            // disc*1e6 + cat*1e3 + num: each component is one octet
+            // (0..255), so a 1000 radix keeps parameterNumber>=100
+            // (e.g. NCEP CPRAT 0,1,196) unambiguous.
+            info.param = (int64_t)discipline * 1000000 + cat * 1000 + num;
             r.skip(3 + 2 + 1 + 1);                   // octets 12-18
             r.skip(4);                               // forecast time
             int lt1 = (int)r.bytes(1);

@@ -88,7 +88,7 @@ def test_lon_roll_roundtrip(gfs):
     """A value at input lon L must land at grid x=(L-xlon0)/dx."""
     path, grid, eta = gfs
     msgs = [m for m in gribio.scan(path)
-            if m.param == 202 and m.level_type == 100
+            if m.param == 2002 and m.level_type == 100  # (0,2,2) = U
             and m.level == 100000]
     raw = msgs[0].values()                # already south-up, lon 0..350
     # input column for lon=200E = index 20; -> x=(200-360+179)/10+... :
@@ -134,6 +134,11 @@ def test_precip_split(gfs):
     cv = np.asarray(eta.convprec)
     assert (ls >= 0).all() and (cv >= 0).all()
     assert ls.max() < 5.0 and cv.max() < 5.0     # mm/h scale
+    # the CPRAT message (param 0,1,196 — parameterNumber >= 100) must
+    # actually be decoded: convective precip is nonzero wherever the
+    # synthetic CPRAT field is, and LSP = (PRATE-CPRAT)*3600 elsewhere
+    assert cv.max() > 0.0, "CPRAT (0,1,196) not decoded"
+    assert ls.max() > 0.0
 
 
 def test_verttransform_below_ground(gfs):
