@@ -150,8 +150,25 @@ def parse_namelist(text: str) -> list[tuple[str, dict[str, Any]]]:
             # a new `key =` starts a new statement
             if re.match(r"^\s*\w+\s*=", line) and pending.strip().rstrip(",") != "":
                 flush_pending()
-            pending += " " + line
-            line = ""
+            # a group terminator may share the line with assignments
+            # ("A=1, B=2 /"): split at the first unquoted '/'
+            slash = -1
+            q = None
+            for i, ch in enumerate(line):
+                if q:
+                    if ch == q:
+                        q = None
+                elif ch in "\"'":
+                    q = ch
+                elif ch == "/":
+                    slash = i
+                    break
+            if slash >= 0:
+                pending += " " + line[:slash]
+                line = line[slash:]
+            else:
+                pending += " " + line
+                line = ""
     if cur_name is not None:  # unterminated group
         flush_pending()
         groups.append((cur_name, cur))

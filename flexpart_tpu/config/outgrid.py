@@ -36,6 +36,11 @@ class OutGrid:
         except ValueError:
             # OUTGRID_NEST files sometimes use &OUTGRID too
             raw = namelist_single(text, "outgrid")
+        if nest:
+            # nest keys carry an N suffix (readoutgrid_nest.f90:
+            # OUTLON0N/OUTLAT0N/NUMXGRIDN/...)
+            raw = {(k[:-1] if k.endswith("n") and k != "outheights"
+                    else k): v for k, v in raw.items()}
         hh = raw.get("outheights", [100.0])
         if not isinstance(hh, list):
             hh = [hh]

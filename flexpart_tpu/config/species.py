@@ -101,6 +101,20 @@ class Species:
     ohdconst: float = -9.9            # OH reaction D [K]
     ohnconst: float = 2.0             # OH reaction N
     specnum: int = 0                  # species file number
+    # emission time variation (readspecies.f90:53-96: parea_dow/
+    # parea_hour/ppoint_dow/ppoint_hour, default all 1.0); factors are
+    # local-time hour-of-day (24) and day-of-week (7, Monday first)
+    area_dow: tuple = (1.0,) * 7
+    area_hour: tuple = (1.0,) * 24
+    point_dow: tuple = (1.0,) * 7
+    point_hour: tuple = (1.0,) * 24
+
+    @property
+    def has_time_variation(self) -> bool:
+        return any(abs(f - 1.0) > 1e-12
+                   for t in (self.area_dow, self.area_hour,
+                             self.point_dow, self.point_hour)
+                   for f in t)
 
     @property
     def decay(self) -> float:
@@ -156,11 +170,32 @@ class Species:
             "pf0": "f0", "pweightmolar": "weightmolar",
             "pohcconst": "ohcconst", "pohdconst": "ohdconst",
             "pohnconst": "ohnconst",
+            "parea_dow": "area_dow", "parea_hour": "area_hour",
+            "ppoint_dow": "point_dow", "ppoint_hour": "point_hour",
         }
+        vector_len = {"area_dow": 7, "area_hour": 24,
+                      "point_dow": 7, "point_hour": 24}
         kwargs = {}
         for k, v in raw.items():
             if k in key_map:
-                kwargs[key_map[k]] = v.strip() if isinstance(v, str) else v
+                name = key_map[k]
+                if name in vector_len:
+                    vals = v if isinstance(v, list) else [v]
+                    # Fortran repeat syntax "24*1.0" survives parsing as
+                    # a string token
+                    out: list[float] = []
+                    for item in vals:
+                        if isinstance(item, str) and "*" in item:
+                            n, val = item.split("*", 1)
+                            out.extend([float(val)] * int(n))
+                        else:
+                            out.append(float(item))
+                    want = vector_len[name]
+                    if len(out) < want:
+                        out.extend([1.0] * (want - len(out)))
+                    kwargs[name] = tuple(out[:want])
+                else:
+                    kwargs[name] = v.strip() if isinstance(v, str) else v
         # reference converts dquer m -> um at read (readreleases.f90:330)
         if "dquer" in kwargs and kwargs["dquer"] > 0:
             kwargs["dquer"] = float(kwargs["dquer"]) * 1.0e6

@@ -49,7 +49,9 @@ class StepConfig(NamedTuple):
     nspec: int = 1
     settling: bool = False
     cblflag: bool = False       # skewed CBL scheme (cbl.f90); wp is raw m/s
-    maxsubsteps: int = 12       # bound for the adaptive-mode while loop
+    maxsubsteps: int = 12       # (unused; adaptive mode now loops until
+    #                             the interval is covered, bounded by
+    #                             dt_total/mintime)
     mintime: float = 1.0        # minimum adaptive substep [s] (par_mod)
     nest_nx: int = 0            # nested met grid shape (0 = no nest)
     nest_ny: int = 0
@@ -71,7 +73,9 @@ class StepParams(NamedTuple):
     fine: jnp.ndarray           # 1/ifine
     ctl: jnp.ndarray            # TL/dt ratio (>0 in adaptive mode)
     lwindinterv: jnp.ndarray
-    # settling-species parameters (species 0; get_settling.f90)
+    # per-species settling parameters, shape (nspec,) (get_settling.f90;
+    # the settling species of a particle is the first one it carries
+    # mass of, advance.f90:518-531)
     sp_density: jnp.ndarray
     sp_dquer: jnp.ndarray       # [um]
     sp_cunningham: jnp.ndarray
@@ -92,10 +96,12 @@ class StepParams(NamedTuple):
              xln=0.0, yln=0.0, xrn=0.0, yrn=0.0,
              xresoln=1.0, yresoln=1.0, xlon0=-180.0):
         f = jnp.float32
+        def v(x):  # species vectors: scalar -> (1,), sequence -> (nspec,)
+            return jnp.atleast_1d(jnp.asarray(x, jnp.float32))
         return cls(f(dx), f(dy), f(ylat0), f(dxconst), f(dyconst),
                    f(abs(lsynctime)), f(fine), f(ctl), f(lwindinterv),
-                   f(sp_density), f(sp_dquer), f(sp_cunningham),
-                   f(sp_vsetaver), f(xln), f(yln), f(xrn), f(yrn),
+                   v(sp_density), v(sp_dquer), v(sp_cunningham),
+                   v(sp_vsetaver), f(xln), f(yln), f(xrn), f(yrn),
                    f(xresoln), f(yresoln), f(xlon0))
 
 
@@ -110,25 +116,38 @@ def _viscosity(t):
     return 1.827e-5 * (291.15 + 120.0) / (t + 120.0) * (t / 291.15) ** 1.5
 
 
-def _settling_velocity(prm: StepParams, temp, rhoa):
+def _settling_velocity(dquer_um, density, cunningham, vsetaver, temp, rhoa):
     """Iterative Reynolds/Cd settling velocity (get_settling.f90:100-127).
+    All species parameters are per-particle (pre-gathered) arrays.
     Returns negative (downward) velocity [m/s]."""
     vis_kin = _viscosity(temp) / rhoa
-    d_m = prm.sp_dquer / 1.0e6
+    d_m = dquer_um / 1.0e6
 
     def cd_of(re):
         re = jnp.maximum(re, 1e-12)
         return jnp.where(re < 1.917, 24.0 / re,
                          jnp.where(re < 500.0, 18.5 / re ** 0.6, 0.44))
 
-    settl = jnp.full_like(temp, prm.sp_vsetaver)
+    settl = jnp.broadcast_to(vsetaver, temp.shape)
     reynolds = d_m * jnp.abs(settl) / vis_kin
+    dens_pos = jnp.maximum(density, 0.0)      # gases: density<0 -> 0 m/s
     for _ in range(5):
         c_d = cd_of(reynolds)
-        settl = -jnp.sqrt(4.0 * GA * d_m * prm.sp_density * prm.sp_cunningham
+        settl = -jnp.sqrt(4.0 * GA * d_m * dens_pos * cunningham
                           / (3.0 * c_d * rhoa))
         reynolds = d_m * jnp.abs(settl) / vis_kin
-    return settl
+    return jnp.where(density > 0.0, settl, 0.0)
+
+
+def _particle_settling(prm: StepParams, p: Particles, temp, rhoa):
+    """Per-particle settling with the parameters of the first species
+    the particle carries release mass of (advance.f90:518-531: settling
+    is only active when each release point emits a single species, so
+    that species is the particle's species)."""
+    nsp = jnp.argmax(p.mass0 > 1e-30, axis=1)      # eps3 = tiny(1.0)
+    return _settling_velocity(
+        prm.sp_dquer[nsp], prm.sp_density[nsp],
+        prm.sp_cunningham[nsp], prm.sp_vsetaver[nsp], temp, rhoa)
 
 
 def _ou_update(vel, rnd, sig, dt_over_tl):
@@ -221,18 +240,22 @@ def _pbl_vertical(cfg: StepConfig, prm: StepParams, z, wp, icbt, h, ust, wst,
 def _pbl_adaptive(cfg: StepConfig, prm: StepParams, key, z, up, vp, wp,
                   icbt, h, ust, wst, ol, rho, drhodz, dt_total):
     """Adaptive per-particle time stepping (method=1;
-    advance.f90:282-609): a bounded masked loop where every particle
+    advance.f90:282-609): a masked `lax.while_loop` where every particle
     picks its own substep ldt = ctl-scaled Lagrangian-timescale limit
-    (advance.f90:504-510); the final iteration completes whatever time
-    remains so the interval is always exactly covered.  Horizontal wind
-    stays frozen at the interval-start interpolation (the reference
-    interpolates profiles once per interval too, advance.f90:295-332).
+    (advance.f90:504-510), iterating until every particle has covered
+    the whole interval (the reference's `if (dt.lt.abs(lsynctime)) goto
+    100` loop, advance.f90:605-609) — particles that finish idle while
+    stragglers keep substepping; ldt >= mintime bounds the trip count by
+    dt_total/mintime.  Horizontal wind stays frozen at the
+    interval-start interpolation (the reference interpolates profiles
+    once per interval too, advance.f90:295-332).
     Returns (up, vp, z, wp, icbt, dawsave, dcwsave)."""
     n = z.shape[0]
-    remaining = jnp.broadcast_to(dt_total, z.shape)
-    daw = jnp.zeros_like(z)
-    dcw = jnp.zeros_like(z)
-    for k in range(cfg.maxsubsteps):
+    remaining0 = jnp.broadcast_to(jnp.asarray(dt_total, jnp.float32),
+                                  z.shape)
+
+    def body(carry):
+        k, remaining, z, wp, up, vp, icbt, daw, dcw = carry
         kk = jax.random.fold_in(key, 7000 + k)
         turb = hanna(z, h, ust, wst, ol) if cfg.turbswitch \
             else hanna1(z, h, ust, wst, ol)
@@ -242,10 +265,7 @@ def _pbl_adaptive(cfg: StepConfig, prm: StepParams, key, z, up, vp, wp,
             jnp.minimum(turb.tlw,
                         h / jnp.maximum(2.0 * jnp.abs(wp_raw), 1e-5)),
             0.5 / jnp.maximum(jnp.abs(turb.dsigwdz), 1e-10)) * prm.ctl
-        if k == cfg.maxsubsteps - 1:
-            dt_i = remaining
-        else:
-            dt_i = jnp.clip(jnp.maximum(ldt, cfg.mintime), None, remaining)
+        dt_i = jnp.clip(jnp.maximum(ldt, cfg.mintime), None, remaining)
         act = remaining > 0.0
         dt_i = jnp.where(act, dt_i, 0.0)
         rnd_h = rng.normals(kk, (2, n), tag=1)
@@ -264,6 +284,14 @@ def _pbl_adaptive(cfg: StepConfig, prm: StepParams, key, z, up, vp, wp,
         wp = jnp.where(act, wp2, wp)
         icbt = jnp.where(act, icbt2, icbt).astype(jnp.int8)
         remaining = jnp.maximum(remaining - dt_i, 0.0)
+        return (k + 1, remaining, z, wp, up, vp, icbt, daw, dcw)
+
+    carry = (jnp.int32(0), remaining0, z, wp,
+             jnp.asarray(up, jnp.float32), jnp.asarray(vp, jnp.float32),
+             icbt, jnp.zeros_like(z), jnp.zeros_like(z))
+    carry = jax.lax.while_loop(
+        lambda c: jnp.any(c[1] > 0.0), body, carry)
+    _, _, z, wp, up, vp, icbt, daw, dcw = carry
     return up, vp, z, wp, icbt, daw, dcw
 
 
@@ -394,6 +422,40 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     dt = prm.lsynctime
     pbl = (z / h) <= 1.0
 
+    # -------- newly released particles (initialize.f90:110-219) --------
+    # draw the turbulent velocities from the local Hanna sigmas and the
+    # mesoscale memory from the local wind stddev so near-source
+    # statistics are unbiased from the first step (the reference calls
+    # `initialize` right before the first `advance` of each particle,
+    # timemanager.f90:553-555)
+    # the reference initializes at release AND for everything live at
+    # itime==0 (covers IPIN=1 warm-started particles)
+    fresh = scheduled & ((p.itramem == itime) | (itime == 0))
+    rnd_i = rng.normals(key, (6, n), tag=6)
+    turb_i = hanna(z, h, ust, wst, ol) if cfg.turbswitch \
+        else hanna1(z, h, ust, wst, ol)
+    up_i = jnp.where(pbl, rnd_i[0] * turb_i.sigu, rnd_i[0] * 0.3)
+    vp_i = jnp.where(pbl, rnd_i[1] * turb_i.sigv, rnd_i[1] * 0.3)
+    wp_raw = rnd_i[2] if cfg.turbswitch else rnd_i[2] * turb_i.sigw
+    wp_i = jnp.where(pbl, wp_raw, 0.0)
+    if cfg.turboff:
+        up_i = jnp.zeros_like(up_i)
+        vp_i = jnp.zeros_like(vp_i)
+        wp_i = jnp.zeros_like(wp_i)
+    # stationary mesoscale OU draw (initialize.f90:211-219; scaled by
+    # turbmesoscale to match the process variance in advance.f90:729-733)
+    usig_i = rnd_i[3] * wind.usig * TURBMESOSCALE
+    vsig_i = rnd_i[4] * wind.vsig * TURBMESOSCALE
+    wsig_i = rnd_i[5] * wind.wsig * TURBMESOSCALE
+    p = p._replace(
+        up=jnp.where(fresh, up_i, p.up),
+        vp=jnp.where(fresh, vp_i, p.vp),
+        wp=jnp.where(fresh, wp_i, p.wp),
+        usig=jnp.where(fresh, usig_i, p.usig),
+        vsig=jnp.where(fresh, vsig_i, p.vsig),
+        wsig=jnp.where(fresh, wsig_i, p.wsig),
+        cbt=jnp.where(fresh, 1, p.cbt).astype(jnp.int8))
+
     # ---------------- PBL branch (advance.f90:276-615) ----------------
     rnd_h = rng.normals(key, (2, n), tag=1)
     rnd_w = rng.normals(key, (cfg.ifine, n), tag=2)
@@ -435,7 +497,7 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
         rho_hi = z0.f3d[F3_RHO].reshape(-1)[lin + cfg.ny * cfg.nx]
         temp = tt_lo * (1 - dz1) + tt_hi * dz1
         rhoa = rho_lo * (1 - dz1) + rho_hi * dz1
-        settling = _settling_velocity(prm, temp, rhoa)
+        settling = _particle_settling(prm, p, temp, rhoa)
     else:
         settling = jnp.zeros_like(z)
     w_eff = w + settling

@@ -13,6 +13,7 @@ working.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import logging
 import sys
 import time
@@ -21,10 +22,43 @@ from pathlib import Path
 log = logging.getLogger("flexpart_tpu")
 
 
+def _met_backend_for(metdata, available, bdate):
+    """AVAILABLE-indexed met backend with detectformat.f90-style probing
+    (npz archive / NCEP isobaric GRIB2 / ECMWF hybrid-eta GRIB)."""
+    from .config import read_available
+
+    entries = read_available(available)
+    if not entries:
+        raise SystemExit(f"AVAILABLE index {available} is empty — "
+                         "convert met data or pass --met synthetic")
+    first = Path(metdata) / entries[0].filename
+    if str(first).endswith(".npz"):
+        from .met.npzmet import NpzMet
+        return NpzMet(metdata=metdata, entries=entries, bdate=bdate)
+    from .met.gfsmet import GfsMet, looks_like_gfs
+    if looks_like_gfs(first):
+        return GfsMet(metdata=metdata, entries=entries, bdate=bdate)
+    from .met.gribmet import GribMet
+    return GribMet(metdata=metdata, entries=entries, bdate=bdate)
+
+
+class _NestShim:
+    """Adapter presenting a met backend with `.grid` as an attribute and
+    fetch() passthrough — what Simulation.met_nests expects."""
+
+    def __init__(self, backend):
+        self._b = backend
+        self.grid = backend.grid()
+
+    def fetch(self, tsec):
+        return self._b.fetch(tsec)
+
+
 def build_simulation(pathnames: str, met: str = "auto",
-                     capacity: int | None = None, seed: int = 1234):
+                     capacity: int | None = None, seed: int = 1234,
+                     write_fortran: bool = False):
     from .config import (AgeClasses, Command, OutGrid, Pathnames, Releases,
-                         read_available)
+                         read_receptors)
     from .run.simulation import Simulation
 
     pn = Pathnames.from_file(pathnames)
@@ -37,41 +71,60 @@ def build_simulation(pathnames: str, met: str = "auto",
     ageclasses = (AgeClasses.from_file(age_path) if age_path.exists()
                   else AgeClasses())
 
+    # OUTGRID_NEST (readoutgrid_nest.f90; FLEXPART.f90:251-257)
+    outgrid_nest = None
+    ogn_path = opts / "OUTGRID_NEST"
+    if cmd.nested_output and ogn_path.exists():
+        outgrid_nest = OutGrid.from_file(ogn_path, nest=True)
+        # the nest shares the mother grid's vertical levels
+        # (readoutgrid_nest.f90 reads no OUTHEIGHTS)
+        outgrid_nest = dataclasses.replace(
+            outgrid_nest, outheights=outgrid.outheights)
+
+    # RECEPTORS (readreceptors.f90; FLEXPART.f90:262)
+    receptors = read_receptors(opts / "RECEPTORS")
+
     wind_interval = 3600
+    met_nests = ()
     if met == "synthetic":
         from .met import SyntheticMet, make_grid
         grid = make_grid(nx=73, ny=37, nlev=28, dx=5.0, dy=5.0)
         backend = SyntheticMet(grid)
     else:
-        entries = read_available(pn.available)
-        if not entries:
-            raise SystemExit(f"AVAILABLE index {pn.available} is empty — "
-                             "convert met data or pass --met synthetic")
-        first = Path(pn.metdata) / entries[0].filename
-        if str(first).endswith(".npz"):
-            from .met.npzmet import NpzMet
-            backend = NpzMet(metdata=pn.metdata, entries=entries,
-                             bdate=cmd.bdate)
-        else:
-            # GRIB via the native decoder; probe the producing model like
-            # detectformat.f90 (ECMWF hybrid-eta vs NCEP isobaric)
-            from .met.gfsmet import GfsMet, looks_like_gfs
-            if looks_like_gfs(first):
-                backend = GfsMet(metdata=pn.metdata, entries=entries,
-                                 bdate=cmd.bdate)
-            else:
-                from .met.gribmet import GribMet
-                backend = GribMet(metdata=pn.metdata, entries=entries,
-                                  bdate=cmd.bdate)
+        backend = _met_backend_for(pn.metdata, pn.available, cmd.bdate)
         grid = backend.grid()
         wind_interval = backend.wind_interval
+        # nested met grids from the per-nest (metdata, AVAILABLE) pairs
+        # in pathnames (readpaths.f90:45-80, readwind_nests.f90)
+        met_nests = tuple(
+            _NestShim(_met_backend_for(nmet, navail, cmd.bdate))
+            for nmet, navail in pn.nests)
+
+    # OH climatology when any species is OH-reactive
+    # (FLEXPART.f90:352 readOHfield; readOHfield.f90:44-45)
+    oh_field = None
+    if any(sp.ohreact for sp in releases.species):
+        from .physics.ohchem import read_oh_field, synthetic_oh_field
+        oh_bin = (Path(cmd.ohfields_path) / "OH_FIELDS"
+                  / "OH_variables.bin")
+        if not oh_bin.is_absolute():
+            oh_bin = opts / oh_bin
+        if oh_bin.exists():
+            oh_field = read_oh_field(oh_bin)
+        else:
+            log.warning("OH-reactive species but %s missing — using the "
+                        "built-in climatology", oh_bin)
+            oh_field = synthetic_oh_field()
 
     sim = Simulation(
         cmd=cmd, releases=releases, grid=grid, met_backend=backend,
         outgrid=outgrid, ageclasses=ageclasses, outdir=str(pn.output),
         capacity=capacity, seed=seed, wind_interval=wind_interval,
         use_clwc=bool(getattr(backend, "sumclouds", False)),
-        options_dir=str(opts) if (opts / "IGBP_int1.dat").exists() else None)
+        options_dir=str(opts) if (opts / "IGBP_int1.dat").exists() else None,
+        receptors=receptors, outgrid_nest=outgrid_nest,
+        met_nests=met_nests, oh_field=oh_field,
+        write_fortran=write_fortran)
     return sim
 
 
@@ -91,6 +144,9 @@ def main(argv=None) -> int:
     ap.add_argument("--capacity", type=int, default=None,
                     help="particle slot capacity (default: total released)")
     ap.add_argument("--seed", type=int, default=1234)
+    ap.add_argument("--write-fortran", action="store_true",
+                    help="also write the reference's unformatted header "
+                         "+ sparse grid_conc_* records")
     args = ap.parse_args(argv)
 
     logging.basicConfig(
@@ -100,7 +156,8 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     sim = build_simulation(args.pathnames, met=args.met,
-                           capacity=args.capacity, seed=args.seed)
+                           capacity=args.capacity, seed=args.seed,
+                           write_fortran=args.write_fortran)
     npart = (sim.particles.capacity if sim.particles is not None
              else -1)   # domain-filling builds particles at run start
     log.info("simulation configured: %d particles, grid %dx%dx%d",

@@ -50,10 +50,19 @@ def obukhov_length(ps, tt2, td2, tlev, ustar, hf, plev1):
     return jnp.clip(ol, -9999.0, 9999.0)
 
 
-def _col_heights_theta(akz, bkz, ps, tt2, td2, tth, qvh, z0):
+def _col_heights_theta(akz, bkz, ps, tt2, td2, tth, qvh, z0,
+                       clamp_ps: bool = False):
     """Per-level z (from reference height z0) and virtual potential
-    temperature, whole grid.  Returns z (nlev,ny,nx), theta, pint."""
+    temperature, whole grid.  Returns z (nlev,ny,nx), theta, pint.
+
+    clamp_ps (GFS isobaric levels): pressures are capped at the surface
+    pressure so below-ground levels contribute zero thickness — the
+    branch-free analog of the reference's per-column llev loop start
+    (richardson.f90:77-110); callers pass fields already collapsed onto
+    the first above-ground level."""
     pint = akz[:, None, None] + bkz[:, None, None] * ps[None]
+    if clamp_ps:
+        pint = jnp.minimum(pint, ps[None])
     tv = tth * (1.0 + 0.608 * qvh)
     tv0 = tt2 * (1.0 + 0.378 * ew(td2) / ps)
     tv = tv.at[0].set(tv0)
@@ -67,15 +76,22 @@ def _col_heights_theta(akz, bkz, ps, tt2, td2, tth, qvh, z0):
     return z, theta, pint
 
 
-def richardson_hmix(akz, bkz, ps, ustar, tth, qvh, uuh, vvh, sshf, tt2, td2):
+def richardson_hmix(akz, bkz, ps, ustar, tth, qvh, uuh, vvh, sshf, tt2, td2,
+                    clamp_ps: bool = False):
     """richardson.f90: mixing height by bulk-Richardson with excess-T
     iteration; also w* and the subgrid lifting limit hmixplus.
+
+    clamp_ps: GFS isobaric mode — fields must be pre-collapsed onto the
+    first above-ground level (calcpar llev, richardson.f90:77-84) and
+    pressures are capped at ps, so the Ri scan effectively starts at
+    llev like the reference's loop_start.
 
     Returns (hmix, wstar, hmixplus), each (ny, nx)."""
     nlev = akz.shape[0]
 
     def one_pass(excess):
-        z, theta, _ = _col_heights_theta(akz, bkz, ps, tt2, td2, tth, qvh, 2.0)
+        z, theta, _ = _col_heights_theta(akz, bkz, ps, tt2, td2, tth, qvh,
+                                         2.0, clamp_ps=clamp_ps)
         thetaref = theta[0] + excess
         zref = 2.0
         du = uuh - uuh[1][None]
@@ -141,10 +157,15 @@ def richardson_hmix(akz, bkz, ps, ustar, tth, qvh, uuh, vvh, sshf, tt2, td2):
     return h, wst, hplus
 
 
-def tropopause_height(akz, bkz, ps, tt2, td2, tth, qvh, lats):
-    """Hoinka thermal tropopause (calcpar.f90:194-266), whole grid."""
+def tropopause_height(akz, bkz, ps, tt2, td2, tth, qvh, lats,
+                      clamp_ps: bool = False):
+    """Hoinka thermal tropopause (calcpar.f90:194-266), whole grid.
+    clamp_ps: see richardson_hmix (below-ground levels get z=0 < altmin
+    and are excluded, matching the reference's loop_start=llev,
+    calcpar.f90:205-229)."""
     nlev = akz.shape[0]
-    z, _, _ = _col_heights_theta(akz, bkz, ps, tt2, td2, tth, qvh, 0.0)
+    z, _, _ = _col_heights_theta(akz, bkz, ps, tt2, td2, tth, qvh, 0.0,
+                                 clamp_ps=clamp_ps)
 
     alat = jnp.abs(lats)
     altmin = jnp.where(alat <= 20.0, 5000.0,
@@ -167,21 +188,45 @@ def tropopause_height(akz, bkz, ps, tt2, td2, tth, qvh, lats):
     return jnp.take_along_axis(z, kz[None], axis=0)[0]
 
 
-@functools.partial(jax.jit, static_argnames=("lsubgrid",))
+@functools.partial(jax.jit, static_argnames=("lsubgrid", "pressure_levels"))
 def _calcpar_jit(akz, bkz, eta_ps, eta_tt2, eta_td2, eta_sshf, eta_surfstr,
-                 tth, qvh, uuh, vvh, excessoro, lats, lsubgrid: bool):
+                 tth, qvh, uuh, vvh, excessoro, lats, lsubgrid: bool,
+                 pressure_levels: bool = False):
     ustar = ustar_from_stress(eta_ps, eta_tt2, eta_td2, eta_surfstr)
-    plev1 = 0.5 * (akz[1] + akz[2]) + 0.5 * (bkz[1] + bkz[2]) * eta_ps
-    ol = obukhov_length(eta_ps, eta_tt2, eta_td2, tth[1], ustar, eta_sshf, plev1)
+
+    if pressure_levels:
+        # GFS isobaric levels can lie below the terrain: collapse every
+        # field onto the first above-ground level llev per column
+        # (calcpar.f90:111-123, richardson.f90:77-84) so the Richardson
+        # scan, Obukhov length and tropopause search start there
+        nlev = akz.shape[0]
+        kidx = jnp.arange(nlev)[:, None, None]
+        llev = jnp.clip(
+            jnp.sum((akz[:, None, None] >= eta_ps[None]), axis=0),
+            1, nlev - 1)
+        eff = jnp.maximum(kidx, llev[None])
+        tth = jnp.take_along_axis(tth, eff, axis=0)
+        qvh = jnp.take_along_axis(qvh, eff, axis=0)
+        uuh = jnp.take_along_axis(uuh, eff, axis=0)
+        vvh = jnp.take_along_axis(vvh, eff, axis=0)
+        plev1 = akz[llev]                      # akz(llev), calcpar.f90:121
+        tlev = tth[1]                          # == tth[llev] after collapse
+    else:
+        plev1 = 0.5 * (akz[1] + akz[2]) + 0.5 * (bkz[1] + bkz[2]) * eta_ps
+        tlev = tth[1]
+    ol = obukhov_length(eta_ps, eta_tt2, eta_td2, tlev, ustar, eta_sshf,
+                        plev1)
     oli = jnp.where(ol != 0.0, 1.0 / ol, 99999.0)
 
     hmix, wstar, hmixplus = richardson_hmix(
-        akz, bkz, eta_ps, ustar, tth, qvh, uuh, vvh, eta_sshf, eta_tt2, eta_td2)
+        akz, bkz, eta_ps, ustar, tth, qvh, uuh, vvh, eta_sshf, eta_tt2,
+        eta_td2, clamp_ps=pressure_levels)
     if lsubgrid:
         hmix = hmix + jnp.minimum(excessoro, hmixplus)
     hmix = jnp.clip(hmix, HMIXMIN, HMIXMAX)
 
-    tropo = tropopause_height(akz, bkz, eta_ps, eta_tt2, eta_td2, tth, qvh, lats)
+    tropo = tropopause_height(akz, bkz, eta_ps, eta_tt2, eta_td2, tth, qvh,
+                              lats, clamp_ps=pressure_levels)
     return ustar, oli, hmix, wstar, tropo
 
 
@@ -198,7 +243,8 @@ def calcpar(grid: MetGrid, eta, z: ZFields, lsubgrid: bool = False,
     ustar, oli, hmix, wstar, tropo = _calcpar_jit(
         akz, bkz, eta.ps, eta.tt2, eta.td2, eta.sshf, eta.surfstr,
         eta.tth, eta.qvh, eta.uuh, eta.vvh, eta.excessoro, lats,
-        lsubgrid=lsubgrid)
+        lsubgrid=lsubgrid,
+        pressure_levels=bool(getattr(grid, "pressure_levels", False)))
     f2d = z.f2d
     f2d = f2d.at[F2_USTAR].set(ustar).at[F2_OLI].set(oli)
     f2d = f2d.at[F2_HMIX].set(hmix).at[F2_WSTAR].set(wstar)

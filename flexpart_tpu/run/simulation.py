@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import time as _time
+from pathlib import Path
 from typing import Any
 
 import jax
@@ -97,6 +98,16 @@ class Simulation:
 
         sp0 = self.releases.species[0]
         sc = sp0.size_classes()
+        # settling is disabled if any release point emits >1 species
+        # (readreleases.f90:610-624); otherwise each particle settles
+        # with its own species' parameters (advance.f90:518-531)
+        lsettling = all(
+            sum(1 for m in box.mass if m > 1e-9) <= 1
+            for box in self.releases.boxes)
+        sp_scs = [s.size_classes() for s in self.releases.species]
+        any_settle = any(
+            s.density > 0.0 and c is not None
+            for s, c in zip(self.releases.species, sp_scs))
         top_lat = self.grid.ylat0 + (self.grid.ny - 1) * self.grid.dy
         self.step_cfg = StepConfig(
             nx=self.grid.nx, ny=self.grid.ny, nz=self.grid.nlev,
@@ -109,7 +120,7 @@ class Simulation:
             nest_nx=self.nest_grid.nx if self.nest_grid else 0,
             nest_ny=self.nest_grid.ny if self.nest_grid else 0,
             nspec=self.nspec,
-            settling=sc is not None and sp0.density > 0.0,
+            settling=lsettling and any_settle,
         )
         self.step_prm = StepParams.make(
             dx=self.grid.dx, dy=self.grid.dy, ylat0=self.grid.ylat0,
@@ -117,10 +128,11 @@ class Simulation:
             dxconst=self.grid.dxconst, dyconst=self.grid.dyconst,
             lsynctime=cmd.lsynctime, fine=cmd.fine,
             ctl=cmd.ctl_eff, lwindinterv=self.wind_interval,
-            sp_density=max(sp0.density, -1.0),
-            sp_dquer=sp0.dquer,
-            sp_cunningham=sc.cunningham if sc else 0.0,
-            sp_vsetaver=sc.vsetaver if sc else 0.0,
+            sp_density=[max(s.density, -1.0)
+                        for s in self.releases.species],
+            sp_dquer=[s.dquer for s in self.releases.species],
+            sp_cunningham=[c.cunningham if c else 0.0 for c in sp_scs],
+            sp_vsetaver=[c.vsetaver if c else 0.0 for c in sp_scs],
             **(dict(
                 xln=(self.nest_grid.xlon0 - self.grid.xlon0)
                 / self.grid.dx,
@@ -184,10 +196,28 @@ class Simulation:
             # (init_domainfill.f90)
             self.particles = None
         else:
+            # warm start (IPIN=1, FLEXPART.f90:322-333): read the
+            # previous run's partposit_end from the output dir and
+            # append its particles after the scheduled releases
+            warm = None
+            if cmd.ipin == 1:
+                from ..io.partdump import read_partposit
+                dump = Path(self.outdir) / "partposit_end"
+                if not dump.exists():
+                    raise FileNotFoundError(
+                        f"IPIN=1 but no {dump} from a previous run "
+                        "(readpartpositions.f90)")
+                _, warm = read_partposit(str(dump), self.nspec)
+            n_warm = len(warm["z"]) if warm else 0
+            cap_sched = (None if self.capacity is None
+                         else self.capacity - n_warm)
             self.particles = build_release_schedule(
-                self.releases, cmd, self.grid, capacity=self.capacity,
+                self.releases, cmd, self.grid, capacity=cap_sched,
                 nclassunc=self.nclassunc, seed=self.seed,
                 bkdep=self.bkdep)
+            if n_warm:
+                self.particles = self._append_warm_start(
+                    self.particles, warm)
         self.acc: Accumulators = zero_accumulators(
             self.geo, self.nspec, self.conc_cfg.npointspec,
             self.nclassunc, nage)
@@ -425,6 +455,43 @@ class Simulation:
         if abs(tn) <= abs(self.cmd.ideltas) + wi:
             self._prefetch_async(tn)
         return f0, f1, t0, t1
+
+    def _append_warm_start(self, p, warm):
+        """Append partposit_end particles (readpartpositions.f90:100-131)
+        after the scheduled-release slots: itra=0 so they resume at the
+        first step; itramem keeps the original (pre-resume) release time
+        so age classes stay correct; turbulence memory is re-drawn by
+        the fresh-particle block of the first advance (itime==0)."""
+        import numpy as np
+        n = len(warm["z"])
+        rng_w = np.random.default_rng(self.seed + 101)
+        x = ((warm["lon"] - self.grid.xlon0) / self.grid.dx) \
+            .astype(np.float32)
+        y = ((warm["lat"] - self.grid.ylat0) / self.grid.dy) \
+            .astype(np.float32)
+        zf = jnp.zeros(n, jnp.float32)
+        extra = p.__class__(
+            x_hi=jnp.asarray(x), x_lo=zf, y_hi=jnp.asarray(y), y_lo=zf,
+            z=jnp.asarray(warm["z"].astype(np.float32)),
+            itra=jnp.zeros(n, jnp.int32),
+            itramem=jnp.asarray(warm["itramem"].astype(np.int32)),
+            npoint=jnp.asarray(warm["npoint"].astype(np.int32)),
+            nclass=jnp.asarray(rng_w.integers(
+                0, self.nclassunc, size=n).astype(np.int32)),
+            idt=jnp.zeros(n, jnp.int32),
+            itrasplit=jnp.full(n, 999999999, jnp.int32),
+            up=zf, vp=zf, wp=zf, usig=zf, vsig=zf, wsig=zf,
+            cbt=jnp.ones(n, jnp.int8),
+            mass=jnp.asarray(warm["mass"].astype(np.float32)),
+            mass0=jnp.asarray(warm["mass"].astype(np.float32)),
+            xscav=jnp.ones((n, self.nspec), jnp.float32),
+            active=jnp.zeros(n, bool),
+        )
+        merged = p.__class__(*[jnp.concatenate([a, b], axis=0)
+                               for a, b in zip(p, extra)])
+        log.info("warm start: %d particles resumed from partposit_end",
+                 n)
+        return merged
 
     def close(self):
         """Stop the background met reader: drop pending prefetches (and

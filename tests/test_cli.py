@@ -119,3 +119,60 @@ def test_cli_release_outside_window_rejected(jobdir):
         assert res.returncode != 0
     finally:
         (jobdir / "options" / "COMMAND").write_text(orig)
+
+
+def test_cli_warm_start_ipin(jobdir):
+    """IPIN=1 resumes from the previous run's partposit_end
+    (FLEXPART.f90:322-333): the new Simulation must carry the dumped
+    particles in addition to its own scheduled releases."""
+    from flexpart_tpu.main import build_simulation
+
+    dump = jobdir / "output" / "partposit_end"
+    assert dump.exists(), "needs test_cli_end_to_end to run first"
+    opts = jobdir / "options"
+    orig = (opts / "COMMAND").read_text()
+    (opts / "COMMAND").write_text(orig.replace("IPIN=0", "IPIN=1"))
+    try:
+        sim = build_simulation(str(jobdir / "pathnames"))
+        assert sim.cmd.ipin == 1
+        # 800 scheduled (instantaneous release) + the dumped survivors
+        n_dumped = sim.particles.capacity - 800
+        assert n_dumped > 0
+        import jax.numpy as jnp
+        # warm particles activate at itime=0 alongside the release
+        from flexpart_tpu.core import activate
+        p = activate(sim.particles, jnp.int32(0))
+        assert int(np.sum(np.asarray(p.active))) == 800 + n_dumped
+        # original release times preserved for age classes
+        itm = np.asarray(sim.particles.itramem[800:])
+        assert (itm <= 0).all()
+        sim.close()
+    finally:
+        (opts / "COMMAND").write_text(orig)
+
+
+def test_cli_receptors_and_nested_outgrid(jobdir):
+    """RECEPTORS and OUTGRID_NEST files in options/ must reach the
+    Simulation (FLEXPART.f90:247-304 read order)."""
+    from flexpart_tpu.main import build_simulation
+
+    opts = jobdir / "options"
+    (opts / "RECEPTORS").write_text(
+        "&RECEPTORS RECEPTOR=\"STATION A\", LON=-40.0, LAT=43.0, /\n"
+        "&RECEPTORS RECEPTOR=\"STATION B\", LON=-30.0, LAT=45.0, /\n")
+    (opts / "OUTGRID_NEST").write_text(
+        "&OUTGRIDN OUTLON0N=-60.0, OUTLAT0N=30.0, NUMXGRIDN=20,"
+        " NUMYGRIDN=20, DXOUTN=1.0, DYOUTN=1.0, /\n")
+    orig = (opts / "COMMAND").read_text()
+    (opts / "COMMAND").write_text(
+        orig.replace("NESTED_OUTPUT=0", "NESTED_OUTPUT=1"))
+    try:
+        sim = build_simulation(str(jobdir / "pathnames"))
+        assert list(sim.receptor_names) == ["STATION A", "STATION B"]
+        assert sim.use_nested_output
+        assert sim.outgrid_nest.numxgrid == 20
+        sim.close()
+    finally:
+        (opts / "COMMAND").write_text(orig)
+        (opts / "RECEPTORS").unlink()
+        (opts / "OUTGRID_NEST").unlink()

@@ -9,7 +9,7 @@ from flexpart_tpu.core import (Particles, StepConfig, StepParams, activate,
                                empty_particles)
 from flexpart_tpu.core.hanna import hanna, hanna1
 from flexpart_tpu.core.interp import horiz_weights, vert_weights, interp_wind
-from flexpart_tpu.core.state import ds_add
+from flexpart_tpu.core.state import ds_add, ITRA_INACTIVE
 from flexpart_tpu.met import (calcpar, compute_heights, make_grid,
                               process_eta, uniform_wind_met)
 
@@ -256,3 +256,100 @@ def test_cbl_scheme_finite_and_mixing(uniform_setup):
     assert zf.min() >= 0.0
     act = np.asarray(p.active)
     assert np.std(zf[act]) > 20.0
+
+
+def test_per_species_settling(uniform_setup):
+    """Two single-species release points with different particle sizes:
+    each particle settles with ITS species' velocity (advance.f90:518-531
+    via the first-species-with-mass rule), not species 0's."""
+    from flexpart_tpu.config import Species
+
+    grid, z0, height = uniform_setup
+    heavy = Species(density=2500.0, dquer=10.0, dsigma=1.0001)
+    light = Species(density=1400.0, dquer=0.4, dsigma=1.0001)
+    scs = [heavy.size_classes(), light.size_classes()]
+    assert scs[0] is not None and scs[1] is not None
+
+    cfg, _ = make_cfg(grid, turboff=True, settling=True, nspec=2)
+    prm = StepParams.make(
+        dx=grid.dx, dy=grid.dy, ylat0=grid.ylat0,
+        dxconst=grid.dxconst, dyconst=grid.dyconst,
+        lsynctime=900, fine=1.0,
+        sp_density=[heavy.density, light.density],
+        sp_dquer=[heavy.dquer, light.dquer],
+        sp_cunningham=[c.cunningham for c in scs],
+        sp_vsetaver=[c.vsetaver for c in scs])
+
+    n = 8
+    p = empty_particles(n, nspec=2)
+    mass = np.zeros((n, 2), np.float32)
+    mass[: n // 2, 0] = 1.0     # release point A: heavy species only
+    mass[n // 2:, 1] = 1.0      # release point B: light species only
+    p = p._replace(
+        x_hi=jnp.full(n, 10.0), y_hi=jnp.full(n, 5.0),
+        z=jnp.full(n, 3000.0),
+        mass=jnp.asarray(mass), mass0=jnp.asarray(mass),
+        active=jnp.ones(n, bool), itra=jnp.zeros(n, jnp.int32))
+    key = jax.random.PRNGKey(0)
+    p2, _ = advance_all(p, z0, z0, jnp.int32(0), jnp.int32(0),
+                        jnp.int32(3600), key, cfg, prm)
+    drop = 3000.0 - np.asarray(p2.z)
+    heavy_drop, light_drop = drop[: n // 2], drop[n // 2:]
+    # 10 um @ 2500 kg/m3 settles orders of magnitude faster than
+    # 0.4 um @ 1400 kg/m3
+    assert heavy_drop.min() > 1.0            # ~7 mm/s * 900 s
+    assert light_drop.max() < 0.1
+    assert heavy_drop.min() > 20 * light_drop.max()
+
+
+def test_emission_time_factors():
+    """Hour-of-day emission factors modulate released particle counts and
+    per-particle mass (releaseparticles.f90:40-131): a species emitting
+    only 06-18 local time must release nothing at night, and the
+    per-particle mass times the count must conserve the total mass rate."""
+    from flexpart_tpu.config import Command, ReleaseBox, Releases, Species
+
+    grid = make_grid(nx=40, ny=30, nlev=10, dx=1.0, dy=1.0,
+                     xlon0=0.0, ylat0=20.0, xglobal=False)
+    # 2020-01-01 is a Wednesday; box at lon ~5.5E -> local ~ UTC (+22 min)
+    cmd = Command(ibdate=20200101, ibtime=0, iedate=20200102, ietime=0,
+                  lsynctime=900, loutstep=3600, loutaver=3600,
+                  loutsample=900)
+    day_hours = tuple(2.0 if 6 <= h < 18 else 0.0 for h in range(24))
+    sp = Species(area_hour=day_hours)
+    assert sp.has_time_variation
+    box = ReleaseBox(idate1=20200101, itime1=0, idate2=20200102, itime2=0,
+                     lon1=5.0, lon2=6.0, lat1=25.0, lat2=26.0, z1=10.0,
+                     z2=100.0, mass=(86.4,), parts=8640)
+    rel = Releases(species=(sp,), boxes=(box,))
+    p = build_release_schedule(rel, cmd, grid)
+    itras = np.asarray(p.itra)
+    live = itras > ITRA_INACTIVE // 2
+    hrs = (itras[live] // 3600) % 24
+    # no releases in local night (factor 0); the tables are in LOCAL time
+    # (UTC + lon/360 days), so allow the one boundary hour
+    night = (hrs < 5) | (hrs >= 19)
+    assert night.sum() == 0, f"night releases at hours {np.unique(hrs[night])}"
+    assert (hrs >= 5).sum() > 0
+    # total mass released ~ npart * mass/npart (factors average out by
+    # construction: count x factor, mass / factor-average)
+    total_mass = np.asarray(p.mass[:, 0]).sum()
+    np.testing.assert_allclose(total_mass, 86.4, rtol=0.05)
+
+
+def test_species_time_factor_parsing(tmp_path):
+    from flexpart_tpu.config import Species
+    f = tmp_path / "SPECIES_099"
+    hours = ", ".join(["0.5"] * 12 + ["1.5"] * 12)
+    f.write_text(
+        "&SPECIES_PARAMS\n"
+        " PSPECIES=\"TESTSPEC\",\n"
+        f" PAREA_HOUR= {hours},\n"
+        " PAREA_DOW= 1.0, 1.0, 1.0, 1.0, 1.0, 0.5, 0.5,\n"
+        " /\n")
+    sp = Species.from_file(f, specnum=99)
+    assert sp.name == "TESTSPEC"
+    assert sp.area_hour[0] == 0.5 and sp.area_hour[23] == 1.5
+    assert sp.area_dow == (1.0, 1.0, 1.0, 1.0, 1.0, 0.5, 0.5)
+    assert sp.has_time_variation
+    assert not Species().has_time_variation

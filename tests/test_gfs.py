@@ -187,3 +187,36 @@ def test_pbl_profile_scalar_cases():
     assert abs(stress[1] - 0.01 ** 2 * rhoa) / stress[1] < 0.05
     assert hf[1] == 0.0
     assert hf[2] > 0.0 and stress[2] > 0.0
+
+
+def test_hmix_ignores_below_ground_levels(gfs):
+    """The Richardson mixing-height scan must start at the first
+    above-ground level (the reference's llev, richardson.f90:77-110):
+    poisoning the below-ground isobaric levels (p > ps) must not change
+    hmix, Obukhov length or the tropopause anywhere."""
+    import jax.numpy as jnp
+    from flexpart_tpu.met.fields import F2_HMIX, F2_OLI, F2_TROPO
+
+    path, grid, eta = gfs
+    height = compute_heights(grid, eta)
+    base = calcpar(grid, eta, process_eta(grid, eta, height, use_clwc=True))
+
+    # poison every level that lies below ground anywhere (p >= min ps)
+    ps = np.asarray(eta.ps)
+    plev = np.asarray(grid.akm)
+    below = plev[:, None, None] >= ps[None]          # (nlev, ny, nx)
+    assert below.any(), "fixture must have below-ground levels"
+    tth = np.asarray(eta.tth).copy()
+    uuh = np.asarray(eta.uuh).copy()
+    tth[below] = 150.0                               # absurd cold
+    uuh[below] = 80.0                                # absurd jet
+    eta_bad = eta._replace(tth=jnp.asarray(tth), uuh=jnp.asarray(uuh))
+    bad = calcpar(grid, eta_bad,
+                  process_eta(grid, eta, height, use_clwc=True))
+
+    np.testing.assert_allclose(np.asarray(base.f2d[F2_HMIX]),
+                               np.asarray(bad.f2d[F2_HMIX]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(base.f2d[F2_OLI]),
+                               np.asarray(bad.f2d[F2_OLI]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(base.f2d[F2_TROPO]),
+                               np.asarray(bad.f2d[F2_TROPO]), rtol=1e-5)
