@@ -88,13 +88,19 @@ class StepParams(NamedTuple):
     xresoln: jnp.ndarray        # mother dx / nest dx
     yresoln: jnp.ndarray
     xlon0_pol: jnp.ndarray      # grid lon origin (polar-cap projection)
+    # tile-mode globals (parallel/domain.py): x offset of this tile's
+    # origin in mother-grid units, and the global cyclic width nx-1
+    # (0 -> not tiled, use cfg.nx-1)
+    tile_x0: jnp.ndarray
+    nxm_pol: jnp.ndarray
 
     @classmethod
     def make(cls, dx, dy, ylat0, dxconst, dyconst, lsynctime, fine,
              ctl=-5.0, lwindinterv=3600, sp_density=-1.0, sp_dquer=0.0,
              sp_cunningham=0.0, sp_vsetaver=0.0,
              xln=0.0, yln=0.0, xrn=0.0, yrn=0.0,
-             xresoln=1.0, yresoln=1.0, xlon0=-180.0):
+             xresoln=1.0, yresoln=1.0, xlon0=-180.0,
+             tile_x0=0.0, nxm_pol=0.0):
         f = jnp.float32
         def v(x):  # species vectors: scalar -> (1,), sequence -> (nspec,)
             return jnp.atleast_1d(jnp.asarray(x, jnp.float32))
@@ -102,7 +108,8 @@ class StepParams(NamedTuple):
                    f(abs(lsynctime)), f(fine), f(ctl), f(lwindinterv),
                    v(sp_density), v(sp_dquer), v(sp_cunningham),
                    v(sp_vsetaver), f(xln), f(yln), f(xrn), f(yrn),
-                   f(xresoln), f(yresoln), f(xlon0))
+                   f(xresoln), f(yresoln), f(xlon0),
+                   f(tile_x0), f(nxm_pol))
 
 
 class StepDiag(NamedTuple):
@@ -309,8 +316,12 @@ def _polar_update(prm: StepParams, x, y, dxsave, dysave, ldirf, nxm):
     the map factor m = sec^2((90-|lat|)/2), applied in plane coordinates
     rho = 2R tan((90-|lat|)/2), and inverted — branch-free and with no
     extra wind fields in HBM.  Returns (x_new, y_new, north_mask,
-    south_mask) in grid units."""
-    lon = (prm.xlon0_pol + x * prm.dx) * PI180
+    south_mask) in grid units.
+
+    In tile mode, prm.tile_x0 shifts tile-local x into global grid units
+    (longitudes and the cyclic wrap must be global) and the result is
+    shifted back, so the update is identical to the single-device one."""
+    lon = (prm.xlon0_pol + (x + prm.tile_x0) * prm.dx) * PI180
     lat = (prm.ylat0 + y * prm.dy) * PI180
     north = lat > SWITCHNORTH * PI180
     south = lat < SWITCHSOUTH * PI180
@@ -350,6 +361,7 @@ def _polar_update(prm: StepParams, x, y, dxsave, dysave, ldirf, nxm):
     # resolutions that don't divide 360 exactly (e.g. 0.7 deg)
     xg = jnp.where(xg < 0.0, xg + nxm, xg)
     xg = jnp.where(xg >= nxm, xg - nxm, xg)
+    xg = xg - prm.tile_x0                 # back to tile-local units
     yg = (lat_new - prm.ylat0) / prm.dy
     return xg, yg, north, south
 
@@ -577,10 +589,13 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     x_hi, x_lo = ds_add(p.x_hi, p.x_lo, dxsave * cosfact * ldirf)
     y_hi, y_lo = ds_add(p.y_hi, p.y_lo, dysave * prm.dyconst * ldirf)
 
+    pol = jnp.zeros_like(x, bool)
     if cfg.polar:
         # stereographic update inside the polar caps (advance.f90:754-778)
+        nxm_eff = jnp.where(prm.nxm_pol > 0, prm.nxm_pol,
+                            jnp.float32(cfg.nx - 1))
         xg_p, yg_p, pn, ps = _polar_update(prm, x, y, dxsave, dysave,
-                                           ldirf, jnp.float32(cfg.nx - 1))
+                                           ldirf, nxm_eff)
         pol = pn | ps
         x_hi = jnp.where(pol, xg_p, x_hi)
         x_lo = jnp.where(pol, 0.0, x_lo)
@@ -595,6 +610,14 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     ldt = prm.lsynctime.astype(jnp.int32)
     endtime = itime + ldt * cfg.ldirect
     can_pett = (jnp.abs(endtime) <= jnp.abs(memtime1)) & (~exited)
+    if cfg.polar and cfg.tile_mode:
+        # tile mode: a cap-ending predictor may land outside this tile's
+        # halo (meridian convergence), so the endpoint wind gather can't
+        # be done locally — skip the corrector for those (the reference
+        # similarly skips it when the step switches grids,
+        # advance.f90:841-857); cap starters whose endpoint stayed put
+        # still can't gather across the post-wrap jump, so gate on pol
+        can_pett = can_pett & ~pol
     xn = x_hi + x_lo
     yn = y_hi + y_lo
     hw2 = horiz_weights(xn, yn, cfg.nx, cfg.ny, cfg.xglobal)
@@ -631,9 +654,10 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     xc_hi, xc_lo = ds_add(x_hi, x_lo, du * cosfact2 * dtl * ldirf)
     yc_hi, yc_lo = ds_add(y_hi, y_lo, dv * prm.dyconst * dtl * ldirf)
     if cfg.polar:
+        nxm_eff2 = jnp.where(prm.nxm_pol > 0, prm.nxm_pol,
+                             jnp.float32(cfg.nx - 1))
         xg_c, yg_c, pn2, ps2 = _polar_update(prm, xn, yn, du * dtl,
-                                             dv * dtl, ldirf,
-                                             jnp.float32(cfg.nx - 1))
+                                             dv * dtl, ldirf, nxm_eff2)
         pol2 = pn2 | ps2
         xc_hi = jnp.where(pol2, xg_c, xc_hi)
         xc_lo = jnp.where(pol2, 0.0, xc_lo)

@@ -56,7 +56,9 @@ class _NestShim:
 
 def build_simulation(pathnames: str, met: str = "auto",
                      capacity: int | None = None, seed: int = 1234,
-                     write_fortran: bool = False):
+                     write_fortran: bool = False,
+                     distributed: str | None = None,
+                     n_devices: int | None = None):
     from .config import (AgeClasses, Command, OutGrid, Pathnames, Releases,
                          read_receptors)
     from .run.simulation import Simulation
@@ -124,7 +126,8 @@ def build_simulation(pathnames: str, met: str = "auto",
         options_dir=str(opts) if (opts / "IGBP_int1.dat").exists() else None,
         receptors=receptors, outgrid_nest=outgrid_nest,
         met_nests=met_nests, oh_field=oh_field,
-        write_fortran=write_fortran)
+        write_fortran=write_fortran,
+        distributed=distributed, n_devices=n_devices)
     return sim
 
 
@@ -147,6 +150,11 @@ def main(argv=None) -> int:
     ap.add_argument("--write-fortran", action="store_true",
                     help="also write the reference's unformatted header "
                          "+ sparse grid_conc_* records")
+    ap.add_argument("--dp", action="store_true",
+                    help="distribute particles over all local devices "
+                         "(the FLEXPART_MPI/timemanager_mpi analog)")
+    ap.add_argument("--devices", type=int, default=None,
+                    help="cap the --dp mesh size (default: all devices)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(
@@ -157,7 +165,9 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     sim = build_simulation(args.pathnames, met=args.met,
                            capacity=args.capacity, seed=args.seed,
-                           write_fortran=args.write_fortran)
+                           write_fortran=args.write_fortran,
+                           distributed="dp" if args.dp else None,
+                           n_devices=args.devices)
     npart = (sim.particles.capacity if sim.particles is not None
              else -1)   # domain-filling builds particles at run start
     log.info("simulation configured: %d particles, grid %dx%dx%d",

@@ -220,7 +220,7 @@ def _exchange(p: Particles, off, axis: str, sign: int, m: int):
 
 
 def migrate_local(p: Particles, ntx: int, nty: int, tx: int, ty: int,
-                  msg_cap: int):
+                  msg_cap: int, rounds_x: int = 1, rounds_y: int = 1):
     """One migration round for THIS tile's particle buffer; call inside
     shard_map over a ("ty","tx") mesh.  Returns (particles, n_unplaced)
     where n_unplaced counts particles that could not be moved this round
@@ -229,26 +229,35 @@ def migrate_local(p: Particles, ntx: int, nty: int, tx: int, ty: int,
     it = lax.axis_index(AX_TX)
     jt = lax.axis_index(AX_TY)
     n_bad = jnp.int32(0)
-    # x pass (cyclic)
+    # x pass (cyclic); rounds_x > 1 moves multi-tile hops (polar-cap
+    # wraps can teleport a particle across many x tiles in one step —
+    # each round sends particles one neighbour closer, shortest way
+    # around the ring)
     dest_it = jnp.clip((p.x // tx).astype(jnp.int32), 0, ntx - 1)
     off = ((dest_it - it + ntx // 2 + ntx) % ntx) - ntx // 2
     off = jnp.where(p.active, off, 0)
-    for sign in (1, -1):
-        if ntx > 1:
-            p, nb = _exchange(p, off, AX_TX, sign, msg_cap)
-            n_bad = n_bad + nb
-            dest_it = jnp.clip((p.x // tx).astype(jnp.int32), 0, ntx - 1)
-            off = ((dest_it - it + ntx // 2 + ntx) % ntx) - ntx // 2
-            off = jnp.where(p.active, off, 0)
+    for _ in range(max(rounds_x, 1)):
+        for sign in (1, -1):
+            if ntx > 1:
+                hop = jnp.clip(off, -1, 1)
+                p, nb = _exchange(p, hop, AX_TX, sign, msg_cap)
+                n_bad = n_bad + nb
+                dest_it = jnp.clip((p.x // tx).astype(jnp.int32),
+                                   0, ntx - 1)
+                off = ((dest_it - it + ntx // 2 + ntx) % ntx) - ntx // 2
+                off = jnp.where(p.active, off, 0)
     # y pass (no wrap: pole BCs keep y in range)
     dest_jt = jnp.clip((p.y // ty).astype(jnp.int32), 0, nty - 1)
     offy = jnp.where(p.active, dest_jt - jt, 0)
-    for sign in (1, -1):
-        if nty > 1:
-            p, nb = _exchange(p, offy, AX_TY, sign, msg_cap)
-            n_bad = n_bad + nb
-            dest_jt = jnp.clip((p.y // ty).astype(jnp.int32), 0, nty - 1)
-            offy = jnp.where(p.active, dest_jt - jt, 0)
+    for _ in range(max(rounds_y, 1)):
+        for sign in (1, -1):
+            if nty > 1:
+                hop = jnp.clip(offy, -1, 1)
+                p, nb = _exchange(p, hop, AX_TY, sign, msg_cap)
+                n_bad = n_bad + nb
+                dest_jt = jnp.clip((p.y // ty).astype(jnp.int32),
+                                   0, nty - 1)
+                offy = jnp.where(p.active, dest_jt - jt, 0)
     return p, lax.psum(n_bad, (AX_TY, AX_TX))
 
 
@@ -356,8 +365,14 @@ def make_tiled_advance(mesh, cfg: StepConfig, ntx: int, nty: int,
     from jax.sharding import PartitionSpec as P
     txh = tx + 2 * halo
     tyh = ty + 2 * halo
+    # polar caps stay ON in tile mode: the stereographic update runs in
+    # global coordinates (prm.tile_x0/nxm_pol) and multi-hop migration
+    # routes trans-polar x jumps; only the Petterssen corrector is
+    # skipped for cap-ending particles (advance.py can_pett gate)
     cfg_t = cfg._replace(nx=txh, ny=tyh, xglobal=False, tile_mode=True,
-                         polar=False, nest_nx=0, nest_ny=0)
+                         nest_nx=0, nest_ny=0)
+    rounds_x = ntx // 2 if cfg.polar else 1
+    rounds_y = max(nty // 2, 1) if cfg.polar else 1
     p_specs = Particles(*[P((AX_TY, AX_TX))] * len(Particles._fields))
     z_specs = ZFields(f3d=P((AX_TY, AX_TX)), f2d=P((AX_TY, AX_TX)),
                       clouds=P((AX_TY, AX_TX)),
@@ -377,7 +392,9 @@ def make_tiled_advance(mesh, cfg: StepConfig, ntx: int, nty: int,
                       clouds=z1t.clouds[0],
                       vdep=None if z1t.vdep is None else z1t.vdep[0],
                       height=z1t.height)
-        prm_l = prm._replace(ylat0=prm.ylat0 + y0 * prm.dy)
+        prm_l = prm._replace(ylat0=prm.ylat0 + y0 * prm.dy,
+                             tile_x0=x0,
+                             nxm_pol=jnp.float32(cfg.nx - 1))
         pl = p._replace(x_hi=p.x_hi - x0, y_hi=p.y_hi - y0)
         pl, diag = advance_all(pl, z0l, z1l, itime, mt0, mt1, key,
                                cfg_t, prm_l)
@@ -390,7 +407,8 @@ def make_tiled_advance(mesh, cfg: StepConfig, ntx: int, nty: int,
             x_hi=xh, x_lo=xl, y_hi=yh, y_lo=yl,
             active=pg.active & ~kill,
             itra=jnp.where(kill, ITRA_INACTIVE, pg.itra))
-        pg, n_bad = migrate_local(pg, ntx, nty, tx, ty, msg_cap)
+        pg, n_bad = migrate_local(pg, ntx, nty, tx, ty, msg_cap,
+                                  rounds_x=rounds_x, rounds_y=rounds_y)
         n_act = lax.psum(jnp.sum(pg.active.astype(jnp.int32)),
                          (AX_TY, AX_TX))
         return pg, n_act, n_bad

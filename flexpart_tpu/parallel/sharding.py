@@ -147,6 +147,39 @@ def make_sharded_conccalc(mesh: Mesh, outheights, cfg: ConcConfig):
     return jax.jit(fn, static_argnames=())
 
 
+def pad_particles(p: Particles, multiple: int) -> Particles:
+    """Append inactive slots so capacity is a multiple of the mesh size
+    (pad slots never activate: itra stays at the inactive sentinel)."""
+    from ..core.state import empty_particles
+    cap = p.capacity
+    rem = cap % multiple
+    if rem == 0:
+        return p
+    extra = empty_particles(multiple - rem, p.nspec)
+    return Particles(*[jnp.concatenate([a, b], axis=0)
+                       for a, b in zip(p, extra)])
+
+
+def make_sharded_depo_scatter(mesh: Mesh, scatter_fn):
+    """Wrap a depokernel scatter so each device adds its particle shard's
+    deposits into its own per-device partial 2-D grid (leading device
+    axis), the wet/drydepokernel analog of make_sharded_conccalc.
+    Returns jitted (grid_partial, deposit(nspec,N), p, nage_idx, kp) ->
+    grid_partial."""
+    p_specs = Particles(*[P(PARTICLE_AXIS)] * len(Particles._fields))
+
+    def _local(grid, deposit, p, nage_idx, kp):
+        return scatter_fn(grid[0], deposit, p, nage_idx, kp)[None]
+
+    fn = jax.shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(PARTICLE_AXIS), P(None, PARTICLE_AXIS), p_specs,
+                  P(PARTICLE_AXIS), P(PARTICLE_AXIS)),
+        out_specs=P(PARTICLE_AXIS),
+    )
+    return jax.jit(fn)
+
+
 @jax.jit
 def reduce_acc_partials(acc: Accumulators) -> Accumulators:
     """Sum the per-device partials into one grid — the output-time

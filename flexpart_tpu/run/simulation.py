@@ -75,6 +75,16 @@ class Simulation:
     outgrid_nest: Any = None         # OUTGRID_NEST (nested output grid)
     met_nests: tuple = ()            # nested met backends (inner last)
     write_fortran: bool = False      # reference-format header + grid_conc_*
+    # distributed execution (the timemanager_mpi.f90 analog):
+    #   None  - single device
+    #   "dp"  - particle data-parallelism over all local devices:
+    #           particles sharded along capacity, met fields replicated,
+    #           advance under GSPMD (bitwise == the single-device step),
+    #           conccalc + deposition scatters into per-device partial
+    #           accumulators reduced only at output time
+    #           (mpif_tm_reduce_grid, mpi_mod.f90:2395-2503)
+    distributed: str | None = None
+    n_devices: int | None = None     # cap the mesh size (default: all)
 
     def __post_init__(self):
         cmd = self.cmd
@@ -330,6 +340,44 @@ class Simulation:
             cc.dxout, cc.dyout, cc.xoutshift, cc.youtshift,
             cc.dx_met, cc.dy_met)
 
+        # ----- distributed mode (timemanager_mpi.f90 analog) -----
+        self._mesh = None
+        if self.distributed == "dp":
+            from ..parallel import (make_sharded_conccalc,
+                                    make_sharded_depo_scatter,
+                                    pad_particles, particle_mesh,
+                                    shard_particles, zero_acc_partials)
+            self._mesh = particle_mesh(self.n_devices)
+            ndev = self._mesh.devices.size
+            if self.capacity is not None:
+                self.capacity = -(-self.capacity // ndev) * ndev
+            if self.particles is not None:
+                self.particles = shard_particles(
+                    pad_particles(self.particles, ndev), self._mesh)
+            # per-device partial accumulators, reduced only at output
+            self.acc = zero_acc_partials(
+                self._mesh, self.geo, self.nspec,
+                self.conc_cfg.npointspec, self.nclassunc, nage)
+            cc_m = make_sharded_conccalc(
+                self._mesh, self.outgrid.outheights, self.conc_cfg)
+            self.conccalc = (
+                lambda acc, p, zf, it, lage, w, cfg, _f=cc_m:
+                _f(acc, p, zf, it, lage, w))
+            if self.use_nested_output:
+                cc_n = make_sharded_conccalc(
+                    self._mesh, self.outgrid_nest.outheights,
+                    self.conc_cfg_n)
+                self.conccalc_n = (
+                    lambda acc, p, zf, it, lage, w, cfg, _f=cc_n:
+                    _f(acc, p, zf, it, lage, w))
+                self.acc_n = zero_acc_partials(
+                    self._mesh, self.geo_n, self.nspec,
+                    self.conc_cfg.npointspec, self.nclassunc, nage)
+            self.depo_scatter = make_sharded_depo_scatter(
+                self._mesh, self.depo_scatter)
+            log.info("distributed particle-DP over %d devices", ndev)
+
+
     def _ensure_vdep_kernel(self, eta):
         if self._vdep_kernel is not None or not self.any_drydep:
             return
@@ -428,6 +476,14 @@ class Simulation:
                                  pvh=pvn, use_clwc=self.use_clwc)
                 zn = calcpar(self.nest_grid, etan, zn,
                              lsubgrid=bool(self.cmd.lsubgrid))
+            if self._mesh is not None:
+                # replicate once per wind field so every jitted step sees
+                # mesh-committed inputs (mpif_gf_send_vars analog — one
+                # broadcast per field read, not per step)
+                from ..parallel import replicate
+                z = replicate(z, self._mesh)
+                if zn is not None:
+                    zn = replicate(zn, self._mesh)
             # convection needs the raw eta-level profiles too
             # (convmix.f90:168-189)
             self._buf[tsec] = (z, eta, zn)
@@ -548,6 +604,11 @@ class Simulation:
                      self.airmass_total,
                      "" if self._boundary is None
                      else " (regional window + boundary conditions)")
+            if self._mesh is not None:
+                from ..parallel import pad_particles, shard_particles
+                self.particles = shard_particles(
+                    pad_particles(self.particles,
+                                  self._mesh.devices.size), self._mesh)
 
         first_step = abs(start_itime) // abs(lsync)
         # re-derive the output window state for a mid-run resume (the
@@ -715,7 +776,7 @@ class Simulation:
                         dx=self.grid.dx, dy=self.grid.dy)
 
             # output (timemanager.f90:376-464)
-            if itime == loutend and float(self.acc.outnum) > 0:
+            if itime == loutend and self._outnum() > 0:
                 self._write_output(itime)
                 # particle dump cadence (timemanager.f90:453-455)
                 if cmd.ipout == 1 and (abs(itime) // abs(cmd.loutstep)) \
@@ -982,8 +1043,17 @@ class Simulation:
         return self.depo_scatter(grid, deposit, p, nage_idx, kp)
 
     # ----- output (concoutput.f90 analog) -----
+    def _outnum(self) -> float:
+        """Global sample count (partials carry it per device)."""
+        o = np.asarray(jax.device_get(self.acc.outnum))
+        return float(o if o.ndim == 0 else o.mean())
+
     def _write_output(self, itime: int):
-        acc = jax.device_get(self.acc)
+        if self._mesh is not None:
+            from ..parallel import reduce_acc_partials
+            acc = jax.device_get(reduce_acc_partials(self.acc))
+        else:
+            acc = jax.device_get(self.acc)
         outnum = float(acc.outnum)
         g = np.asarray(acc.gridunc)  # (nage,nclass,kp,nz,ny,nx,ks)
         # sum over uncertainty classes = total; std over classes = uncertainty
@@ -1028,7 +1098,11 @@ class Simulation:
             else:
                 self._write_fortran_grids(when, conc, wet, dry)
         if self.use_nested_output:
-            accn = jax.device_get(self.acc_n)
+            if self._mesh is not None:
+                from ..parallel import reduce_acc_partials
+                accn = jax.device_get(reduce_acc_partials(self.acc_n))
+            else:
+                accn = jax.device_get(self.acc_n)
             gn = np.asarray(accn.gridunc)
             tn = gn.sum(axis=1)
             voln = self.geo_n.volume
@@ -1039,9 +1113,12 @@ class Simulation:
             concn = tn * fac_n[None, None, :, :, :, None]
             concn = np.moveaxis(concn, -1, 0).transpose(0, 2, 1, 3, 4, 5)
             self.writer_n.write(when, concn, np.zeros_like(concn))
-            self.acc_n = zero_accumulators(
-                self.geo_n, self.nspec, self.conc_cfg.npointspec,
-                self.nclassunc, self.ageclasses.nageclass)
+            if self._mesh is not None:
+                self.acc_n = jax.tree.map(jnp.zeros_like, self.acc_n)
+            else:
+                self.acc_n = zero_accumulators(
+                    self.geo_n, self.nspec, self.conc_cfg.npointspec,
+                    self.nclassunc, self.ageclasses.nageclass)
         from ..utils.dates import datestamp
         from pathlib import Path as _P
         if self.receptor_set is not None:
@@ -1071,9 +1148,15 @@ class Simulation:
                        self.numpoint, self._plume_writer)
         # concentrations reset each output window; deposition grids are
         # CUMULATIVE over the run (concoutput.f90 never zeroes wetgridunc)
-        zeroed = zero_accumulators(
-            self.geo, self.nspec, self.conc_cfg.npointspec,
-            self.nclassunc, self.ageclasses.nageclass)
-        self.acc = zeroed._replace(wetgridunc=self.acc.wetgridunc,
-                                   drygridunc=self.acc.drygridunc)
+        if self._mesh is not None:
+            # zero the concentration partials, keep cumulative wet/dry
+            self.acc = self.acc._replace(
+                gridunc=jnp.zeros_like(self.acc.gridunc),
+                outnum=jnp.zeros_like(self.acc.outnum))
+        else:
+            zeroed = zero_accumulators(
+                self.geo, self.nspec, self.conc_cfg.npointspec,
+                self.nclassunc, self.ageclasses.nageclass)
+            self.acc = zeroed._replace(wetgridunc=self.acc.wetgridunc,
+                                       drygridunc=self.acc.drygridunc)
         log.info("output written at %s (outnum=%.1f)", when, outnum)

@@ -248,3 +248,118 @@ def test_tiled_advance_matches_global():
     np.testing.assert_allclose(ys[o], yg[np.sort(ids) - 1], atol=2e-3)
     np.testing.assert_allclose(zs[o], np.asarray(qg.z)[np.sort(ids) - 1],
                                atol=0.5)
+
+
+def test_tiled_advance_polar_caps():
+    """Tile mode with polar caps ON: particles poleward of 75 deg take
+    the global-coordinate stereographic update (ADVICE r1: previously the
+    tiled step silently used the plain metric update there).  Particles
+    that never enter a cap must match the global run bitwise; cap
+    particles keep the exact predictor (corrector skipped in tile mode)
+    so they stay physical and none are lost — multi-hop migration routes
+    their trans-polar x jumps."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from flexpart_tpu.core import StepConfig, StepParams, advance_all
+    from flexpart_tpu.core.state import Particles, empty_particles
+    from flexpart_tpu.met import (calcpar, compute_heights, make_grid,
+                                  process_eta, uniform_wind_met)
+    from flexpart_tpu.met.fields import ZFields
+    from flexpart_tpu.parallel.domain import (AX_TX, AX_TY, FieldTiles,
+                                              decompose_zfields,
+                                              make_tiled_advance,
+                                              shard_by_tile)
+
+    grid = make_grid(nx=73, ny=37, nlev=10, dx=5.0, dy=5.0,
+                     ylat0=-90.0, xglobal=True)
+    met = uniform_wind_met(grid, u=20.0, v=8.0)
+    eta = met.fetch(0.0)
+    zf = calcpar(grid, eta,
+                 process_eta(grid, eta, compute_heights(grid, eta)))
+    cfg = StepConfig(nx=grid.nx, ny=grid.ny, nz=grid.nlev, xglobal=True,
+                     ldirect=1, turbswitch=False, ifine=1, method=0,
+                     turboff=True, polar=True)
+    prm = StepParams.make(dx=5.0, dy=5.0, ylat0=-90.0, xlon0=-180.0,
+                          dxconst=grid.dxconst, dyconst=grid.dyconst,
+                          lsynctime=900, fine=1.0)
+    rng = np.random.default_rng(11)
+    n = 160
+    x = rng.uniform(0.0, 71.9, n).astype(np.float32)
+    # half mid-latitude, half pole-adjacent (y=34.2 -> 81 N, cap region)
+    y = np.concatenate([rng.uniform(8.0, 26.0, n // 2),
+                        rng.uniform(33.5, 35.6, n - n // 2)]) \
+        .astype(np.float32)
+    z = rng.uniform(3000.0, 9000.0, n).astype(np.float32)
+
+    pg = empty_particles(n)._replace(
+        x_hi=jnp.asarray(x), y_hi=jnp.asarray(y), z=jnp.asarray(z),
+        itra=jnp.zeros(n, jnp.int32), mass=jnp.ones((n, 1), jnp.float32),
+        npoint=jnp.arange(1, n + 1, dtype=jnp.int32),
+        active=jnp.ones(n, bool))
+    key = jax.random.PRNGKey(4)
+    steps = 6
+    qg = pg
+    switch_y = (75.0 - (-90.0)) / 5.0          # grid row of +75 deg
+    ever_cap = np.zeros(n, bool)
+    for i in range(steps):
+        ever_cap |= np.asarray(qg.y) > switch_y
+        qg, _ = advance_all(qg, zf, zf, jnp.int32(i * 900), jnp.int32(0),
+                            jnp.int32(36000000),
+                            jax.random.fold_in(key, i), cfg, prm)
+    ever_cap |= np.asarray(qg.y) > switch_y
+
+    nty, ntx = 2, 4
+    tx, ty = 18, 18
+    halo = 4
+    devs = np.asarray(jax.devices()[:8]).reshape(nty, ntx)
+    mesh = Mesh(devs, (AX_TY, AX_TX))
+    sh = NamedSharding(mesh, P((AX_TY, AX_TX)))
+    # ny=37 rows: last tile row covers y in [18, 36] via halo slack
+    zt = decompose_zfields(zf, nty, ntx, halo, nx_field=72, xglobal=True)
+    zt = ZFields(*[jax.device_put(a, sh) if i < 4 else a
+                   for i, a in enumerate(zt)])
+    src = {k: np.asarray(getattr(pg, k)) for k in pg._fields}
+    ftdims = FieldTiles(tiles=jnp.zeros(1), x0=jnp.zeros(1),
+                        y0=jnp.zeros(1), ntx=ntx, nty=nty, tx=tx, ty=ty,
+                        halo=halo)
+    tiled = shard_by_tile(src, ftdims, 256)
+    pt = Particles(**{k: jax.device_put(jnp.asarray(v), sh)
+                      for k, v in tiled.items()})
+    step = make_tiled_advance(mesh, cfg, ntx, nty, tx, ty, halo,
+                              msg_cap=256)
+    for i in range(steps):
+        pt, n_act, n_bad = step(pt, zt, zt, jnp.int32(i * 900),
+                                jnp.int32(0), jnp.int32(36000000),
+                                jax.random.fold_in(key, i), prm)
+        assert int(n_bad) == 0
+    assert int(n_act) == n, "particles lost near the poles"
+
+    act = np.asarray(pt.active)
+    ids = np.asarray(pt.npoint)[act] - 1
+    xs = (np.asarray(pt.x_hi) + np.asarray(pt.x_lo))[act]
+    ys = (np.asarray(pt.y_hi) + np.asarray(pt.y_lo))[act]
+    zs = np.asarray(pt.z)[act]
+    gx = np.asarray(qg.x)
+    gy = np.asarray(qg.y)
+    gz = np.asarray(qg.z)
+
+    order = np.argsort(ids)
+    ids_s = ids[order]
+    np.testing.assert_array_equal(ids_s, np.arange(n))
+    mid = ~ever_cap
+    # never-cap particles: identical to the global run up to 1-ULP f32
+    # rounding of the tile-origin latitude arithmetic ((y_local*dy +
+    # (ylat0+y0*dy)) vs (y_global*dy + ylat0) in the cosfact metric)
+    np.testing.assert_allclose(xs[order][mid], gx[mid], rtol=5e-7,
+                               atol=1e-5)
+    np.testing.assert_allclose(ys[order][mid], gy[mid], rtol=5e-7,
+                               atol=1e-5)
+    np.testing.assert_allclose(zs[order][mid], gz[mid], rtol=5e-7,
+                               atol=1e-3)
+    # cap particles: physical and close (corrector-only difference)
+    cap = ever_cap
+    assert cap.sum() > 20
+    assert np.isfinite(xs[order][cap]).all()
+    assert (ys[order][cap] <= 36.0 + 1e-3).all()
+    np.testing.assert_allclose(ys[order][cap], gy[cap], atol=0.35)
+    np.testing.assert_allclose(zs[order][cap], gz[cap], atol=1.0)

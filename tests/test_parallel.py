@@ -123,3 +123,67 @@ def test_sharded_conccalc_reduces_to_serial(setup):
                                np.asarray(acc_serial.gridunc),
                                rtol=1e-6, atol=1e-9)
     assert float(total.outnum) == 1.0  # same weight on every partial
+
+
+def _mini_sim(outdir, distributed=None, parts=96):
+    """A small but physics-rich Simulation (wet+dry dep via aerosol
+    species, turbulence, kernel output) for the serial<->DP contract."""
+    from flexpart_tpu.config import (Command, OutGrid, ReleaseBox, Releases,
+                                     Species)
+    from flexpart_tpu.met import SyntheticMet, make_grid
+    from flexpart_tpu.run.simulation import Simulation
+
+    grid = make_grid(nx=37, ny=19, nlev=15, dx=10.0, dy=10.0)
+    cmd = Command(ibdate=20200101, ibtime=0, iedate=20200101,
+                  ietime=30000, lsynctime=900, loutstep=3600,
+                  loutaver=3600, loutsample=900, lconvection=0)
+    sp = Species(density=1900.0, dquer=0.5, dsigma=1.5,
+                 crain_aero=1.0, csnow_aero=1.0, ccn_aero=0.9,
+                 in_aero=0.1)
+    box = ReleaseBox(idate1=20200101, itime1=0, idate2=20200101,
+                     itime2=10000, lon1=0.0, lon2=2.0, lat1=40.0,
+                     lat2=42.0, z1=50.0, z2=500.0, mass=(1.0,),
+                     parts=parts)
+    rel = Releases(species=(sp,), boxes=(box,))
+    og = OutGrid(outlon0=-60.0, outlat0=0.0, numxgrid=60, numygrid=40,
+                 dxout=2.0, dyout=2.0,
+                 outheights=(500.0, 2000.0, 50000.0))
+    return Simulation(cmd=cmd, releases=rel, grid=grid,
+                      met_backend=SyntheticMet(grid), outgrid=og,
+                      outdir=str(outdir), seed=77,
+                      distributed=distributed, write_netcdf=False)
+
+
+def test_distributed_simulation_matches_serial(tmp_path):
+    """The full production Simulation in distributed='dp' mode over the
+    8-device mesh must write the same concentrations and deposition as
+    the single-device run over a full output cycle — the reference's
+    serial == mpirun contract (README_PARALLEL.md:189-195), but exact
+    because the sharded step is the same logical program under GSPMD
+    and the partial-accumulator sums commute across disjoint shards."""
+    sim_s = _mini_sim(tmp_path / "serial")
+    sim_s.run()
+    sim_d = _mini_sim(tmp_path / "dp", distributed="dp")
+    assert sim_d._mesh is not None and sim_d._mesh.devices.size == 8
+    sim_d.run()
+
+    import glob
+    fs = sorted(glob.glob(str(tmp_path / "serial" / "grid_conc_*.npz")))
+    fd = sorted(glob.glob(str(tmp_path / "dp" / "grid_conc_*.npz")))
+    assert len(fs) == len(fd) >= 2
+    for a, b in zip(fs, fd):
+        da, db = np.load(a), np.load(b)
+        np.testing.assert_allclose(db["conc"], da["conc"],
+                                   rtol=1e-5, atol=1e-12)
+        if "wet" in da:
+            np.testing.assert_allclose(db["wet"], da["wet"],
+                                       rtol=1e-5, atol=1e-12)
+            np.testing.assert_allclose(db["dry"], da["dry"],
+                                       rtol=1e-5, atol=1e-12)
+    # particle states bitwise identical (GSPMD advance == serial advance)
+    np.testing.assert_array_equal(
+        np.asarray(sim_s.particles.z),
+        np.asarray(sim_d.particles.z)[:sim_s.particles.capacity])
+    np.testing.assert_array_equal(
+        np.asarray(sim_s.particles.mass),
+        np.asarray(sim_d.particles.mass)[:sim_s.particles.capacity])
