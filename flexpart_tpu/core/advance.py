@@ -28,8 +28,9 @@ from . import rng
 from .cbl import cbl_terms, reinit_wp
 from .hanna import hanna, hanna1
 from .interp import (HorizWeights, blend_wind_stack, horiz_weights,
-                     vert_weights, interp_wind_blended,
-                     interp_wind_short_blended, interp_2d, hmix_max)
+                     vert_weights, interp_wind_blended, interp_wind_legacy,
+                     interp_wind_short, interp_wind_short_blended,
+                     interp_2d, gather_corners_2d_ln, hmix_max)
 from .state import Particles, ds_add
 
 
@@ -110,6 +111,61 @@ class StepParams(NamedTuple):
                    v(sp_vsetaver), f(xln), f(yln), f(xrn), f(yrn),
                    f(xresoln), f(yresoln), f(xlon0),
                    f(tile_x0), f(nxm_pol))
+
+
+class LegacyRnd(NamedTuple):
+    """Matched-RNG mode inputs: the reference's precomputed gaussian
+    table (1-based, validation.legacy_rng.make_rannumb) and the per-call
+    `nrand` base indices drawn host-side from the ran3 chain in
+    reference consumption order (advance.f90:153, initialize.f90:68).
+    When passed to advance_all, every random draw is replaced by the
+    exact table reads the Fortran performs, including the mid-call
+    `if (nrand+k.gt.maxrand) nrand=1` wraparounds."""
+    table: jnp.ndarray        # (maxrand+1,) f32, [0] unused
+    nrand_init: jnp.ndarray   # (n,) i32 base for initialize.f90 draws
+    nrand: jnp.ndarray        # (n,) i32 base for advance.f90 draws
+
+
+def _legacy_draws(leg: LegacyRnd, cfg: StepConfig, pbl, in_trop, in_trans):
+    """Build the per-site random arrays from the rannumb table, mirroring
+    the nrand index arithmetic of initialize.f90/advance.f90 (see the
+    file:line map in LegacyRnd and tests/test_matched_rng.py)."""
+    tab = leg.table
+    R = tab.shape[0] - 1
+
+    # ----- initialize.f90 -----
+    ni = leg.nrand_init
+    b = jnp.where(ni + 2 > R, 1, ni)             # PBL check (line 130)
+    a = jnp.where(ni + 1 > R, 1, ni)             # above-PBL check (192)
+    ibase = jnp.where(pbl, b, a)
+    mb_i = jnp.where(pbl, b, a + 2)              # meso base (194-213)
+    mb_i = jnp.where(mb_i + 2 > R, 1, mb_i)
+    rnd_i = jnp.stack([tab[ibase], tab[ibase + 1], tab[b + 2],
+                       tab[mb_i], tab[mb_i + 1], tab[mb_i + 2]], 0)
+
+    # ----- advance.f90 -----
+    na = leg.nrand
+    na1 = jnp.where(na + 1 > R, 1, na)           # horizontal (line 369)
+    rnd_h = jnp.stack([tab[na1], tab[na1 + 1]], 0)
+    b2 = na1 + 2
+    b2 = jnp.where(b2 + cfg.ifine > R, 1, b2)    # vertical (line 395)
+    rnd_w = jnp.stack([tab[b2 + 1 + i] for i in range(cfg.ifine)], 0)
+    pbl_meso = b2 + cfg.ifine + 1                # nrand=nrand+i, i=ifine+1
+
+    t_b = jnp.where(na + 1 > R, 1, na)           # troposphere (650)
+    tr_b = jnp.where(na + 2 > R, 1, na)          # transition (657)
+    s_b = jnp.where(na > R, 1, na)               # stratosphere (666)
+    rnd_ft = jnp.stack([
+        jnp.where(in_trans, tab[tr_b], tab[t_b]),
+        jnp.where(in_trans, tab[tr_b + 1], tab[t_b + 1]),
+        jnp.where(in_trans, tab[tr_b + 2], tab[s_b]),
+    ], 0)
+    ft_meso = jnp.where(in_trop, t_b + 2,
+                        jnp.where(in_trans, tr_b + 3, s_b + 1))
+    mb = jnp.where(pbl, pbl_meso, ft_meso)       # mesoscale (727)
+    mb = jnp.where(mb + 2 > R, 1, mb)
+    rnd_m = jnp.stack([tab[mb], tab[mb + 1], tab[mb + 2]], 0)
+    return rnd_i, rnd_h, rnd_w, rnd_ft, rnd_m
 
 
 class StepDiag(NamedTuple):
@@ -367,33 +423,55 @@ def _polar_update(prm: StepParams, x, y, dxsave, dysave, ldirf, nxm):
 
 
 def _sample_met(zA: ZFields, zB: ZFields, tw0, tw1, x, y, z, height,
-                nx: int, ny: int, xglobal: bool):
+                nx: int, ny: int, xglobal: bool, legacy: bool = False):
     """All met quantities the integrator needs at the particle, from one
-    grid (mother or nest): the interpol_all/interpol_wind family."""
+    grid (mother or nest): the interpol_all/interpol_wind family.
+
+    With legacy=True the winds/sigmas use the reference-exact
+    per-time-level interpolation and both sigma conventions (matched-RNG
+    validation); the last return slot then carries the 16-sample sigma
+    triple (None otherwise)."""
     hw = horiz_weights(x, y, nx, ny, xglobal)
     h = jnp.maximum(hmix_max(zA, zB, hw, F2_HMIX), 1.0)
-    tropop = interp_2d(zA.f2d, (F2_TROPO,), hw)[0]
+    # tropopause: nearest grid point of the FIRST time level
+    # (advance.f90:252 `tropopause(nix,njy,1,1)`); nint picks one of the
+    # 4 bilinear corners
+    trop_c = gather_corners_2d_ln(zA.f2d, (F2_TROPO,), hw)[0]    # (4,N)
+    ix_n = (x - hw.ix) >= 0.5
+    iy_n = (y - hw.jy) >= 0.5
+    tropop = jnp.where(iy_n, jnp.where(ix_n, trop_c[3], trop_c[2]),
+                       jnp.where(ix_n, trop_c[1], trop_c[0]))
     sidx = jnp.asarray((F2_USTAR, F2_WSTAR, F2_OLI))
     f2dt = zA.f2d[sidx] * tw0 + zB.f2d[sidx] * tw1
     ust, wst, oliaux = interp_2d(f2dt, (0, 1, 2), hw)
     ol = jnp.where(oliaux != 0.0, 1.0 / oliaux, 99999.0)
     indz, dz1 = vert_weights(z, height)
-    f3dt = blend_wind_stack(zA, zB, tw0, tw1)
-    wind = interp_wind_blended(f3dt, hw, indz, dz1)
-    return hw, indz, dz1, h, tropop, ust, wst, ol, wind
+    if legacy:
+        wind, sig16 = interp_wind_legacy(zA, zB, hw, indz, dz1, tw0, tw1)
+    else:
+        f3dt = blend_wind_stack(zA, zB, tw0, tw1)
+        wind = interp_wind_blended(f3dt, hw, indz, dz1)
+        sig16 = None
+    return hw, indz, dz1, h, tropop, ust, wst, ol, wind, sig16
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def advance_all(p: Particles, z0: ZFields, z1: ZFields,
                 itime, memtime0, memtime1, key,
                 cfg: StepConfig, prm: StepParams,
-                z0n: ZFields | None = None, z1n: ZFields | None = None):
+                z0n: ZFields | None = None, z1n: ZFields | None = None,
+                leg: LegacyRnd | None = None):
     """Advance every scheduled particle by one lsynctime interval.
 
     Returns (particles, diag).  Terminated-by-domain-exit particles get
-    active=False (reference nstop=3, advance.f90:804-808)."""
+    active=False (reference nstop=3, advance.f90:804-808).  With `leg`,
+    every random draw comes from the reference's rannumb table in exact
+    consumption order (matched-RNG validation; no nests/CBL)."""
     n = p.capacity
     scheduled = p.active
+    legacy = leg is not None
+    if legacy and cfg.nest_nx:
+        raise ValueError("legacy RNG mode does not support nests")
 
     dt1 = (itime - memtime0).astype(jnp.float32)
     dt2 = (memtime1 - itime).astype(jnp.float32)
@@ -405,8 +483,9 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     z = p.z
     height = z0.height
     (hw, indz, dz1, h, tropop, ust, wst, ol,
-     wind) = _sample_met(z0, z1, tw0, tw1, x, y, z, height,
-                         cfg.nx, cfg.ny, cfg.xglobal)
+     wind, sig16) = _sample_met(z0, z1, tw0, tw1, x, y, z, height,
+                                cfg.nx, cfg.ny, cfg.xglobal,
+                                legacy=legacy)
 
     # nested met fields: recompute for particles inside the nest window
     # and select (advance.f90:161-175 nest branch; the reference picks
@@ -420,8 +499,8 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
         xtn = jnp.clip(xtn, 0.0, cfg.nest_nx - 1.001)
         ytn = jnp.clip(ytn, 0.0, cfg.nest_ny - 1.001)
         (_, indz_n, dz1_n, h_n, trop_n, ust_n, wst_n, ol_n,
-         wind_n) = _sample_met(z0n, z1n, tw0, tw1, xtn, ytn, z, height,
-                               cfg.nest_nx, cfg.nest_ny, False)
+         wind_n, _) = _sample_met(z0n, z1n, tw0, tw1, xtn, ytn, z, height,
+                                  cfg.nest_nx, cfg.nest_ny, False)
         sel_n = lambda a, b: jnp.where(in_nest, a, b)
         h = sel_n(h_n, h)
         tropop = sel_n(trop_n, tropop)
@@ -433,6 +512,22 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
 
     dt = prm.lsynctime
     pbl = (z / h) <= 1.0
+    # top-of-domain clamp: height(nz)-100*eps, eps=nxmax/3e5
+    # (advance.f90:107,560)
+    htop = height[-1] - jnp.float32(100.0 * cfg.nx / 3.0e5)
+    in_trop = z < tropop
+    in_trans = (~in_trop) & (z < tropop + 1000.0)
+
+    if legacy:
+        (l_rnd_i, l_rnd_h, l_rnd_w, l_rnd_ft,
+         l_rnd_m) = _legacy_draws(leg, cfg, pbl, in_trop, in_trans)
+        # above-PBL/PBL sigma conventions (interpol_wind.f90 16-sample
+        # vs interpol_all.f90 per-level 8-sample)
+        usig_w = jnp.where(pbl, wind.usig, sig16[0])
+        vsig_w = jnp.where(pbl, wind.vsig, sig16[1])
+        wsig_w = jnp.where(pbl, wind.wsig, sig16[2])
+    else:
+        usig_w, vsig_w, wsig_w = wind.usig, wind.vsig, wind.wsig
 
     # -------- newly released particles (initialize.f90:110-219) --------
     # draw the turbulent velocities from the local Hanna sigmas and the
@@ -443,7 +538,7 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     # the reference initializes at release AND for everything live at
     # itime==0 (covers IPIN=1 warm-started particles)
     fresh = scheduled & ((p.itramem == itime) | (itime == 0))
-    rnd_i = rng.normals(key, (6, n), tag=6)
+    rnd_i = l_rnd_i if legacy else rng.normals(key, (6, n), tag=6)
     turb_i = hanna(z, h, ust, wst, ol) if cfg.turbswitch \
         else hanna1(z, h, ust, wst, ol)
     up_i = jnp.where(pbl, rnd_i[0] * turb_i.sigu, rnd_i[0] * 0.3)
@@ -456,9 +551,13 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
         wp_i = jnp.zeros_like(wp_i)
     # stationary mesoscale OU draw (initialize.f90:211-219; scaled by
     # turbmesoscale to match the process variance in advance.f90:729-733)
-    usig_i = rnd_i[3] * wind.usig * TURBMESOSCALE
-    vsig_i = rnd_i[4] * wind.vsig * TURBMESOSCALE
-    wsig_i = rnd_i[5] * wind.wsig * TURBMESOSCALE
+    # legacy note: initialize.f90:215-217 draws the mesoscale memory from
+    # the FULL wind stddev (no turbmesoscale); the production default
+    # uses the OU process' stationary std (documented deviation)
+    meso_f = 1.0 if legacy else TURBMESOSCALE
+    usig_i = rnd_i[3] * usig_w * meso_f
+    vsig_i = rnd_i[4] * vsig_w * meso_f
+    wsig_i = rnd_i[5] * wsig_w * meso_f
     p = p._replace(
         up=jnp.where(fresh, up_i, p.up),
         vp=jnp.where(fresh, vp_i, p.vp),
@@ -469,8 +568,8 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
         cbt=jnp.where(fresh, 1, p.cbt).astype(jnp.int8))
 
     # ---------------- PBL branch (advance.f90:276-615) ----------------
-    rnd_h = rng.normals(key, (2, n), tag=1)
-    rnd_w = rng.normals(key, (cfg.ifine, n), tag=2)
+    rnd_h = l_rnd_h if legacy else rng.normals(key, (2, n), tag=1)
+    rnd_w = l_rnd_w if legacy else rng.normals(key, (cfg.ifine, n), tag=2)
 
     if cfg.method == 1:
         (up_pbl, vp_pbl, z_pbl, wp_pbl, icbt, daw_pbl,
@@ -502,7 +601,6 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
         nix = jnp.clip(jnp.round(x).astype(jnp.int32), 0, cfg.nx - 1)
         njy = jnp.clip(jnp.round(y).astype(jnp.int32), 0, cfg.ny - 1)
         lin = indz * (cfg.ny * cfg.nx) + njy * cfg.nx + nix
-        nznynx = cfg.nz * cfg.ny * cfg.nx
         tt_lo = z0.f3d[F3_TT].reshape(-1)[lin]
         tt_hi = z0.f3d[F3_TT].reshape(-1)[lin + cfg.ny * cfg.nx]
         rho_lo = z0.f3d[F3_RHO].reshape(-1)[lin]
@@ -518,13 +616,11 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     dxs_pbl = u * dt
     dys_pbl = v * dt
     z_pbl = z_pbl + w_eff * dt * ldirf
-    z_pbl = jnp.minimum(z_pbl, height[-1] - 1e-3)
+    z_pbl = jnp.minimum(z_pbl, htop)
     z_pbl = jnp.where(z_pbl < 0.0, jnp.minimum(h - 1e-9, -z_pbl), z_pbl)
 
     # -------- free troposphere / stratosphere (advance.f90:629-708) --------
-    rnd_ft = rng.normals(key, (3, n), tag=3)
-    in_trop = z < tropop
-    in_trans = (~in_trop) & (z < tropop + 1000.0)
+    rnd_ft = l_rnd_ft if legacy else rng.normals(key, (3, n), tag=3)
     weight = jnp.clip((z - tropop) / 1000.0, 0.0, 1.0)
     uxscale_t = jnp.sqrt(2.0 * D_TROP / dt)
     uxscale_tr = jnp.sqrt(2.0 * D_TROP / dt * (1.0 - weight))
@@ -561,12 +657,12 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     icbt = jnp.where(pbl, icbt, p.cbt)
 
     # ---------------- mesoscale fluctuations (advance.f90:720-738) ----------
-    rnd_m = rng.normals(key, (3, n), tag=4)
+    rnd_m = l_rnd_m if legacy else rng.normals(key, (3, n), tag=4)
     r = jnp.exp(-2.0 * prm.lsynctime / prm.lwindinterv)
     rs = jnp.sqrt(1.0 - r * r)
-    usig_new = r * p.usig + rs * rnd_m[0] * wind.usig * TURBMESOSCALE
-    vsig_new = r * p.vsig + rs * rnd_m[1] * wind.vsig * TURBMESOSCALE
-    wsig_new = r * p.wsig + rs * rnd_m[2] * wind.wsig * TURBMESOSCALE
+    usig_new = r * p.usig + rs * rnd_m[0] * usig_w * TURBMESOSCALE
+    vsig_new = r * p.vsig + rs * rnd_m[1] * vsig_w * TURBMESOSCALE
+    wsig_new = r * p.wsig + rs * rnd_m[2] * wsig_w * TURBMESOSCALE
     if cfg.turboff:
         usig_new = jnp.zeros_like(usig_new)
         vsig_new = jnp.zeros_like(vsig_new)
@@ -604,7 +700,7 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
 
     x_hi, x_lo, y_hi, y_lo, exited = _apply_bcs(cfg, prm, x_hi, x_lo, y_hi,
                                                  y_lo)
-    z_new = jnp.minimum(z_new, height[-1] - 1e-3)
+    z_new = jnp.minimum(z_new, htop)
 
     # ---------------- Petterssen corrector (advance.f90:816-986) ------------
     ldt = prm.lsynctime.astype(jnp.int32)
@@ -620,13 +716,20 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
         can_pett = can_pett & ~pol
     xn = x_hi + x_lo
     yn = y_hi + y_lo
-    hw2 = horiz_weights(xn, yn, cfg.nx, cfg.ny, cfg.xglobal)
-    indz2, dz1_2 = vert_weights(z_new, height)
     edt1 = (endtime - memtime0).astype(jnp.float32)
     edt2 = (memtime1 - endtime).astype(jnp.float32)
     edtt = 1.0 / jnp.maximum(edt1 + edt2, 1e-6)
-    f3dt_end = blend_wind_stack(z0, z1, edt2 * edtt, edt1 * edtt)[:3]
-    u2, v2, w2 = interp_wind_short_blended(f3dt_end, hw2, indz2, dz1_2)
+    hw2 = horiz_weights(xn, yn, cfg.nx, cfg.ny, cfg.xglobal)
+    indz2, dz1_2 = vert_weights(z_new, height)
+    if legacy:
+        # reference-exact per-time-level corrector wind
+        # (interpol_wind_short.f90)
+        u2, v2, w2 = interp_wind_short(z0, z1, hw2, indz2, dz1_2,
+                                       edt2 * edtt, edt1 * edtt)
+    else:
+        f3dt_end = blend_wind_stack(z0, z1, edt2 * edtt, edt1 * edtt)[:3]
+        u2, v2, w2 = interp_wind_short_blended(f3dt_end, hw2, indz2,
+                                               dz1_2)
     if cfg.nest_nx:
         in_nest2 = ((xn > prm.xln + eps_n) & (xn < prm.xrn - eps_n)
                     & (yn > prm.yln + eps_n) & (yn < prm.yrn - eps_n))
@@ -672,7 +775,7 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     y_lo = jnp.where(can_pett, yc_lo, y_lo)
     z_new = jnp.where(can_pett, z_corr, z_new)
     exited = exited | (can_pett & exited2)
-    z_new = jnp.minimum(z_new, height[-1] - 1e-3)
+    z_new = jnp.minimum(z_new, htop)
 
     # ---------------- write back (masked on scheduled) ----------------
     keep = scheduled & (~exited)

@@ -77,10 +77,23 @@ def gather_corners_2d(f2d, field_ids, hw: HorizWeights):
     return flat[:, hw.idx4]
 
 
+def gather_corners_2d_ln(f2d, field_ids, hw: HorizWeights):
+    """(F2, ny, nx) -> (F, 4, N) corner values, corner dim LEADING.
+
+    TPU layout note: keeping the particle axis LAST puts it on the
+    128-lane dimension; a trailing corner dim of 4 would be padded to
+    128 lanes (32x waste) and drags every consumer onto tiny-batch MXU
+    dots.  The lanes-first forms below are ~3x faster end-to-end on
+    v5e (measured in the advance kernel)."""
+    nf, ny, nx = f2d.shape
+    flat = f2d.reshape(nf, ny * nx)[jnp.asarray(field_ids)]
+    return flat[:, hw.idx4.T]
+
+
 def interp_2d(f2d, field_ids, hw: HorizWeights):
     """Bilinear 2-D interpolation: (F, N)."""
-    vals = gather_corners_2d(f2d, field_ids, hw)
-    return jnp.einsum("fnc,nc->fn", vals, hw.p4)
+    vals = gather_corners_2d_ln(f2d, field_ids, hw)       # (F,4,N)
+    return jnp.sum(vals * hw.p4.T[None], axis=1)
 
 
 class WindInterp(NamedTuple):
@@ -129,6 +142,41 @@ def interp_wind(z0: ZFields, z1: ZFields, hw: HorizWeights, indz, dz1,
                       drhodz=val[4], usig=sig[0], vsig=sig[1], wsig=sig[2])
 
 
+def interp_wind_legacy(z0: ZFields, z1: ZFields, hw: HorizWeights, indz, dz1,
+                       tw0, tw1):
+    """Reference-exact interpolation for matched-RNG validation: winds
+    from per-time-level bilinear + temporal blend (interpol_all.f90),
+    with BOTH wind-sigma conventions returned — the PBL per-level
+    8-sample form (interpol_all.f90:216-240, averaged over the two
+    levels like advance.f90:603-606) and the above-PBL 16-sample form
+    (interpol_wind.f90:194-213).  Returns (WindInterp-with-8-sample-sig,
+    (usig16, vsig16, wsig16))."""
+    c0 = gather_corners_3d(z0.f3d, _WIND_FIELDS, hw, indz)  # (5,2,N,4)
+    c1 = gather_corners_3d(z1.f3d, _WIND_FIELDS, hw, indz)
+    lev = (jnp.einsum("flnc,nc->fln", c0, hw.p4) * tw0
+           + jnp.einsum("flnc,nc->fln", c1, hw.p4) * tw1)
+    val = lev[:, 0] * (1.0 - dz1) + lev[:, 1] * dz1
+
+    uvw0, uvw1 = c0[:3], c1[:3]
+    sl = jnp.sum(uvw0, axis=-1) + jnp.sum(uvw1, axis=-1)     # (3,2,N)
+    sq = jnp.sum(uvw0 ** 2, axis=-1) + jnp.sum(uvw1 ** 2, axis=-1)
+    var = sq - sl * sl / 8.0
+    sig_lev = jnp.where(var < 1.0e-30, 0.0,
+                        jnp.sqrt(jnp.maximum(var, 0.0) / 7.0))
+    sig8 = 0.5 * (sig_lev[:, 0] + sig_lev[:, 1])             # (3,N)
+
+    sl16 = jnp.sum(sl, axis=1)                               # (3,N)
+    sq16 = jnp.sum(sq, axis=1)
+    var16 = sq16 - sl16 * sl16 / 16.0
+    sig16 = jnp.where(var16 < 1.0e-30, 0.0,
+                      jnp.sqrt(jnp.maximum(var16, 0.0) / 15.0))
+
+    wind = WindInterp(u=val[0], v=val[1], w=val[2], rho=val[3],
+                      drhodz=val[4], usig=sig8[0], vsig=sig8[1],
+                      wsig=sig8[2])
+    return wind, (sig16[0], sig16[1], sig16[2])
+
+
 def interp_wind_short(z0: ZFields, z1: ZFields, hw: HorizWeights, indz, dz1,
                       tw0, tw1):
     """Wind only, for the Petterssen corrector (interpol_wind_short.f90)."""
@@ -151,18 +199,29 @@ def blend_wind_stack(z0: ZFields, z1: ZFields, tw0, tw1):
     return z0.f3d[idx] * tw0 + z1.f3d[idx] * tw1         # (5, nz, ny, nx)
 
 
+def gather_corners_3d_ln(f3d, field_ids, hw: HorizWeights, indz):
+    """Lanes-first corner gather: (F, 2, 4, N) — see gather_corners_2d_ln
+    for the layout rationale."""
+    nf, nz, ny, nx = f3d.shape
+    flat = f3d.reshape(nf, nz * ny * nx)[jnp.asarray(field_ids)]
+    lin0 = indz[None] * (ny * nx) + hw.idx4.T            # (4,N)
+    lin = jnp.stack([lin0, lin0 + ny * nx], axis=0)      # (2,4,N)
+    return flat[:, lin]                                  # (F,2,4,N)
+
+
 def interp_wind_blended(f3dt, hw: HorizWeights, indz, dz1) -> WindInterp:
     """interp_wind on a pre-time-blended stack.  The mesoscale wind
     stddev uses the 4 corner samples per level of the blended field
     (variance/3) instead of the reference's 4x2-time samples — the
     spatial part dominates and temporal smoothing only slightly lowers
     the heuristic mesoscale amplitude (turbmesoscale=0.16 scaling)."""
-    c = gather_corners_3d(f3dt, (0, 1, 2, 3, 4), hw, indz)  # (5,2,N,4)
-    lev = jnp.einsum("flnc,nc->fln", c, hw.p4)
+    c = gather_corners_3d_ln(f3dt, (0, 1, 2, 3, 4), hw, indz)  # (5,2,4,N)
+    p4t = hw.p4.T                                              # (4,N)
+    lev = jnp.sum(c * p4t[None, None], axis=2)                 # (5,2,N)
     val = lev[:, 0] * (1.0 - dz1) + lev[:, 1] * dz1
     uvw = c[:3]
-    sl = jnp.sum(uvw, axis=-1)                              # (3,2,N)
-    sq = jnp.sum(uvw ** 2, axis=-1)
+    sl = jnp.sum(uvw, axis=2)                                  # (3,2,N)
+    sq = jnp.sum(uvw * uvw, axis=2)
     var = sq - sl * sl / 4.0
     sig_lev = jnp.where(var < 1.0e-30, 0.0,
                         jnp.sqrt(jnp.maximum(var, 0.0) / 3.0))
@@ -174,8 +233,8 @@ def interp_wind_blended(f3dt, hw: HorizWeights, indz, dz1) -> WindInterp:
 
 def interp_wind_short_blended(f3dt, hw: HorizWeights, indz, dz1):
     """Petterssen-corrector wind from a pre-blended (end-time) stack."""
-    c = gather_corners_3d(f3dt, (0, 1, 2), hw, indz)
-    lev = jnp.einsum("flnc,nc->fln", c, hw.p4)
+    c = gather_corners_3d_ln(f3dt, (0, 1, 2), hw, indz)        # (3,2,4,N)
+    lev = jnp.sum(c * hw.p4.T[None, None], axis=2)
     val = lev[:, 0] * (1.0 - dz1) + lev[:, 1] * dz1
     return val[0], val[1], val[2]
 
@@ -183,6 +242,6 @@ def interp_wind_short_blended(f3dt, hw: HorizWeights, indz, dz1):
 def hmix_max(z0: ZFields, z1: ZFields, hw: HorizWeights, f2_hmix: int):
     """Max mixing height over the 4 surrounding points and both time levels
     (advance.f90:236-252)."""
-    h0 = gather_corners_2d(z0.f2d, (f2_hmix,), hw)[0]
-    h1 = gather_corners_2d(z1.f2d, (f2_hmix,), hw)[0]
-    return jnp.maximum(jnp.max(h0, axis=-1), jnp.max(h1, axis=-1))
+    h0 = gather_corners_2d_ln(z0.f2d, (f2_hmix,), hw)[0]   # (4,N)
+    h1 = gather_corners_2d_ln(z1.f2d, (f2_hmix,), hw)[0]
+    return jnp.maximum(jnp.max(h0, axis=0), jnp.max(h1, axis=0))
