@@ -238,15 +238,28 @@ def _pbl_vertical(cfg: StepConfig, prm: StepParams, z, wp, icbt, h, ust, wst,
     """The ifine vertical Langevin substeps (advance.f90:396-498).
     Returns (z, wp, icbt, turb-at-final-z).  With cfg.cblflag, wp is the
     RAW vertical velocity and the skewed bi-Gaussian drift applies in
-    strongly convective columns (-h/L > 5, advance.f90:405-442)."""
+    strongly convective columns (-h/L > 5, advance.f90:405-442).
+
+    `dtftlw` (and everything derived from it: the decay factor rw, the
+    random-increment scale, and the linearized-vs-exact branch choice)
+    is computed ONCE from the turbulence at the interval-start position
+    and kept across all ifine substeps — the reference sets it before
+    the substep loop (advance.f90:391) and hanna_short refreshes only
+    sigw/dsigwdz/tlw, so the fresh tlw enters the drift term but not
+    the decay.  Besides matching the reference bit-for-bit, this hoists
+    the exp/sqrt out of the substep loop."""
     rhoaux = drhodz / rho
     dtf = dt * prm.fine
-    turb = None
     n = z.shape[0]
+    turb = hanna(z, h, ust, wst, ol) if (cfg.turbswitch or cfg.cblflag) \
+        else hanna1(z, h, ust, wst, ol)
+    dtftlw = dtf / turb.tlw                      # stale by design
+    rw = jnp.exp(-dtftlw)
+    rnd_exact = jnp.sqrt(jnp.maximum(1.0 - rw * rw, 0.0))
+    rnd_lin = jnp.sqrt(2.0 * dtftlw)
+    use_lin = dtftlw < 0.5
     for i in range(cfg.ifine):
         if cfg.cblflag:
-            turb = hanna(z, h, ust, wst, ol)
-            dtftlw = dtf / turb.tlw
             icbtf = icbt.astype(jnp.float32)
             cbl_zone = (-h / ol) > 5.0
             ath_c, bth_c, rein = cbl_terms(
@@ -265,29 +278,23 @@ def _pbl_vertical(cfg: StepConfig, prm: StepParams, z, wp, icbt, h, ust, wst,
                      + wp * wp / sig * turb.dsigwdz
                      + sig * sig / rho * drhodz)
             wp_g = (wp + ath_g * dtf
-                    + sig * rnd_w[i] * jnp.sqrt(2.0 * dtftlw)) * icbtf
+                    + sig * rnd_w[i] * rnd_lin) * icbtf
             wp_new = jnp.where(cbl_zone, wp_c, wp_g)
             # NaN safety net (advance.f90:435-441 nan_count2 redraw)
             wp_new = jnp.where(jnp.isfinite(wp_new), wp_new,
                                sig * rnd_w[i])
             delz = wp_new * dtf
         elif cfg.turbswitch:
-            turb = hanna(z, h, ust, wst, ol)
-            dtftlw = dtf / turb.tlw
             # Gaussian branch (advance.f90:446-455); wp normalized by sigw
-            lin = ((1.0 - dtftlw) * wp + rnd_w[i] * jnp.sqrt(2.0 * dtftlw)
+            lin = ((1.0 - dtftlw) * wp + rnd_w[i] * rnd_lin
                    + dtf * (turb.dsigwdz + rhoaux * turb.sigw))
-            rw = jnp.exp(-dtftlw)
-            exact = (rw * wp + rnd_w[i] * jnp.sqrt(jnp.maximum(1.0 - rw * rw, 0.0))
+            exact = (rw * wp + rnd_w[i] * rnd_exact
                      + turb.tlw * (1.0 - rw) * (turb.dsigwdz + rhoaux * turb.sigw))
-            wp_new = jnp.where(dtftlw < 0.5, lin, exact) * icbt.astype(jnp.float32)
+            wp_new = jnp.where(use_lin, lin, exact) * icbt.astype(jnp.float32)
             delz = wp_new * turb.sigw * dtf
         else:
-            turb = hanna1(z, h, ust, wst, ol)
-            dtftlw = dtf / turb.tlw
-            rw = jnp.exp(-dtftlw)
             wp_new = (rw * wp
-                      + rnd_w[i] * jnp.sqrt(jnp.maximum(1.0 - rw * rw, 0.0)) * turb.sigw
+                      + rnd_w[i] * rnd_exact * turb.sigw
                       + turb.tlw * (1.0 - rw)
                       * (turb.dsigw2dz + rhoaux * turb.sigw ** 2)) \
                 * icbt.astype(jnp.float32)
@@ -297,6 +304,11 @@ def _pbl_vertical(cfg: StepConfig, prm: StepParams, z, wp, icbt, h, ust, wst,
             delz = jnp.zeros_like(delz)
         z, icbt = _reflect_pbl(z, delz, h)
         wp = wp_new
+        if i != cfg.ifine - 1:
+            # hanna_short refresh at the new z (advance.f90:493-496)
+            turb = hanna(z, h, ust, wst, ol) if (cfg.turbswitch
+                                                 or cfg.cblflag) \
+                else hanna1(z, h, ust, wst, ol)
     return z, wp, icbt, turb
 
 

@@ -668,18 +668,26 @@ def oracle_advance(prm: OracleParams, itp: _Interp, stream: NrandStream,
 
 
 def run_oracle(prm: OracleParams, z0, z1, memtime, particles, nsteps,
-               itime0=0, seed=-7, table=None):
+               itime0=0, seed=-7, table=None, stream=None, nstops=None,
+               do_init=True):
     """Drive initialize+advance over nsteps sync intervals, mirroring the
     scheduler's per-particle order (timemanager.f90:531-712).
 
     particles: list of state dicts with xt/yt/zt (+ itramem).
-    Returns (states, nstops, trace) where trace[step][j] = (xt, yt, zt)."""
+    Returns (states, nstops, trace) where trace[step][j] = (xt, yt, zt).
+
+    For multi-wind-interval runs (the getfields swap), call repeatedly
+    with new (z0, z1, memtime), passing the returned states plus the
+    SAME stream/nstops and do_init=False so the ran3 chain and the
+    termination bookkeeping continue across intervals."""
     from .legacy_rng import make_rannumb
     if table is None:
         table = make_rannumb(prm.maxrand, seed)
-    stream = NrandStream(seed, prm.maxrand)
+    if stream is None:
+        stream = NrandStream(seed, prm.maxrand)
     states = [dict(s) for s in particles]
-    nstops = [0] * len(states)
+    if nstops is None:
+        nstops = [0] * len(states)
     trace = []
     for k in range(nsteps):
         itime = itime0 + k * prm.lsynctime * prm.ldirect
@@ -688,7 +696,7 @@ def run_oracle(prm: OracleParams, z0, z1, memtime, particles, nsteps,
         for j, s in enumerate(states):
             if nstops[j]:
                 continue
-            if k == 0:   # all particles fresh at itime0 (timemanager:553)
+            if do_init and k == 0:   # fresh at itime0 (timemanager:553)
                 (s["up"], s["vp"], s["wp"], s["usigold"], s["vsigold"],
                  s["wsigold"], s["icbt"]) = oracle_initialize(
                     prm, itp, stream, table, float(s["xt"]),

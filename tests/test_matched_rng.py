@@ -1,0 +1,292 @@
+"""Matched-RNG validation: the TPU advance kernel vs the scalar oracle.
+
+The oracle (flexpart_tpu.validation.oracle) is a line-by-line host-side
+transcription of /root/reference/src/advance.f90 + initialize.f90 (the
+reference binary is not buildable here — no Fortran toolchain — so the
+oracle is the executable form of the reference's arithmetic).  Both
+sides consume the SAME rannumb gaussian table (random_mod.f90:93-139
+ported exactly in validation.legacy_rng) with the SAME per-particle
+`nrand` index chase in reference consumption order, so every random
+draw is bitwise identical; any drift between kernel and oracle is a
+physics/arithmetic discrepancy, not stochastic spread.
+
+This is the matched-stream comparison BASELINE.md's correctness row
+asks for (gridded concentrations allclose under bitwise-seeded RNG).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flexpart_tpu.core import StepConfig, StepParams, advance_all
+from flexpart_tpu.core.advance import LegacyRnd
+from flexpart_tpu.core.state import empty_particles
+from flexpart_tpu.met import (calcpar, compute_heights, make_grid,
+                              process_eta)
+from flexpart_tpu.met.synthetic import SyntheticMet
+from flexpart_tpu.validation.legacy_rng import (MAXRAND, NrandStream,
+                                                make_rannumb)
+from flexpart_tpu.validation.oracle import OracleParams, run_oracle
+
+SEED = -7
+LSYNC = 900
+MEMTIME = (0, 10800)
+
+
+class _NpZ:
+    """Numpy view of a ZFields for the scalar oracle."""
+
+    def __init__(self, zf):
+        self.f3d = np.asarray(zf.f3d)
+        self.f2d = np.asarray(zf.f2d)
+        self.height = np.asarray(zf.height)
+
+
+@pytest.fixture(scope="module")
+def met_setup():
+    grid = make_grid(nx=61, ny=31, nlev=20, dx=1.0, dy=1.0,
+                     xlon0=0.0, ylat0=10.0, xglobal=False)
+    met = SyntheticMet(grid)
+    height = compute_heights(grid, met.fetch(0.0))
+    zs = []
+    for t in (0.0, float(MEMTIME[1])):
+        eta = met.fetch(t)
+        z = process_eta(grid, eta, height)
+        z = calcpar(grid, eta, z)
+        zs.append(z)
+    return grid, zs[0], zs[1], height
+
+
+def _start_positions(n):
+    """Positions spread over the domain; z spans PBL / troposphere /
+    tropopause transition / stratosphere, away from branch boundaries."""
+    rs = np.random.RandomState(42)
+    x = rs.uniform(8.0, 50.0, n)
+    y = rs.uniform(5.0, 25.0, n)
+    z = np.concatenate([
+        rs.uniform(20.0, 400.0, n - 3 * (n // 4)),     # PBL-ish
+        rs.uniform(3000.0, 7000.0, n // 4),            # troposphere
+        rs.uniform(11300.0, 11700.0, n // 4),          # transition band
+        rs.uniform(16000.0, 19000.0, n // 4),          # stratosphere
+    ])
+    return x, y, z
+
+
+def _run_kernel_legacy(grid, z0, z1, x, y, z, nsteps, cfg, prm,
+                       seed=SEED, memtime=MEMTIME, itime0=0, stream=None,
+                       p=None, first=True):
+    """Drive advance_all in legacy-RNG mode, drawing the per-particle
+    nrand bases host-side in the reference's consumption order
+    (timemanager.f90:553-611: per particle, initialize-then-advance at
+    the release step, advance only afterwards).  Pass stream/p back in
+    to continue across wind intervals."""
+    n = len(x)
+    if p is None:
+        p = empty_particles(n, nspec=cfg.nspec)
+        p = p._replace(x_hi=jnp.asarray(x, jnp.float32),
+                       y_hi=jnp.asarray(y, jnp.float32),
+                       z=jnp.asarray(z, jnp.float32),
+                       itra=jnp.zeros(n, jnp.int32),
+                       itramem=jnp.full(n, -1, jnp.int32),
+                       mass=jnp.ones((n, cfg.nspec), jnp.float32),
+                       active=jnp.ones(n, bool))
+    table = jnp.asarray(make_rannumb(MAXRAND, seed))
+    if stream is None:
+        stream = NrandStream(seed, MAXRAND)
+    key = jax.random.PRNGKey(0)          # unused in legacy mode
+    traj = []
+    for kk in range(nsteps):
+        k = kk if first else kk + 1      # k==0 gates the init draws
+        itime = itime0 + kk * LSYNC
+        active = np.asarray(p.active)
+        ni = np.ones(n, np.int64)
+        na = np.ones(n, np.int64)
+        for j in range(n):
+            if not active[j]:
+                continue                  # terminated: consumes nothing
+            if k == 0:
+                ni[j] = stream.next_nrand()
+            na[j] = stream.next_nrand()
+        leg = LegacyRnd(table=table,
+                        nrand_init=jnp.asarray(ni, jnp.int32),
+                        nrand=jnp.asarray(na, jnp.int32))
+        p, diag = advance_all(p, z0, z1, jnp.int32(itime),
+                              jnp.int32(memtime[0]), jnp.int32(memtime[1]),
+                              key, cfg, prm, leg=leg)
+        traj.append(np.stack([
+            np.float64(p.x_hi) + np.float64(p.x_lo),
+            np.float64(p.y_hi) + np.float64(p.y_lo),
+            np.float64(p.z)], 1))
+    return p, traj
+
+
+def _run_oracle(grid, z0, z1, x, y, z, nsteps, oprm, seed=SEED):
+    parts = [dict(xt=np.float64(x[j]), yt=np.float64(y[j]),
+                  zt=np.float32(z[j])) for j in range(len(x))]
+    states, nstops, trace = run_oracle(
+        oprm, _NpZ(z0), _NpZ(z1), MEMTIME, parts, nsteps,
+        itime0=0, seed=seed)
+    return states, nstops, [np.asarray(t, np.float64) for t in trace]
+
+
+def _params(grid, turbswitch, ifine, settling=False, **sp):
+    cfg = StepConfig(nx=grid.nx, ny=grid.ny, nz=grid.nlev,
+                     xglobal=grid.xglobal, ldirect=1,
+                     turbswitch=turbswitch, ifine=ifine, method=0,
+                     settling=settling)
+    prm = StepParams.make(dx=grid.dx, dy=grid.dy, ylat0=grid.ylat0,
+                          dxconst=grid.dxconst, dyconst=grid.dyconst,
+                          lsynctime=LSYNC, fine=1.0 / ifine,
+                          lwindinterv=abs(MEMTIME[1] - MEMTIME[0]), **sp)
+    oprm = OracleParams(nx=grid.nx, ny=grid.ny, nz=grid.nlev,
+                        xglobal=grid.xglobal, ldirect=1,
+                        turbswitch=turbswitch, ifine=ifine,
+                        lsynctime=LSYNC,
+                        lwindinterv=abs(MEMTIME[1] - MEMTIME[0]),
+                        dx=grid.dx, dy=grid.dy, ylat0=grid.ylat0,
+                        dxconst=float(grid.dxconst),
+                        dyconst=float(grid.dyconst),
+                        settling=settling,
+                        sp_density=sp.get("sp_density", -1.0),
+                        sp_dquer=sp.get("sp_dquer", 0.0),
+                        sp_cunningham=sp.get("sp_cunningham", 0.0),
+                        sp_vsetaver=sp.get("sp_vsetaver", 0.0))
+    return cfg, prm, oprm
+
+
+def _compare(traj_k, trace_o, nstops, atol_xy=5e-3, atol_z=2.0):
+    """Per-step position comparison; terminated particles are compared
+    up to their last live step only."""
+    nsteps = len(traj_k)
+    for k in range(nsteps):
+        alive = np.asarray(nstops) == 0
+        ok = traj_k[k]
+        oo = trace_o[k]
+        np.testing.assert_allclose(ok[alive, 0], oo[alive, 0],
+                                   atol=atol_xy, rtol=0,
+                                   err_msg=f"x step {k}")
+        np.testing.assert_allclose(ok[alive, 1], oo[alive, 1],
+                                   atol=atol_xy, rtol=0,
+                                   err_msg=f"y step {k}")
+        np.testing.assert_allclose(ok[alive, 2], oo[alive, 2],
+                                   atol=atol_z, rtol=1e-4,
+                                   err_msg=f"z step {k}")
+
+
+@pytest.mark.parametrize("turbswitch,ifine", [(True, 1), (False, 1),
+                                              (True, 4)])
+def test_matched_positions(met_setup, turbswitch, ifine):
+    grid, z0, z1, height = met_setup
+    cfg, prm, oprm = _params(grid, turbswitch, ifine)
+    n = 28
+    x, y, z = _start_positions(n)
+    nsteps = 4
+    pk, traj_k = _run_kernel_legacy(grid, z0, z1, x, y, z, nsteps, cfg,
+                                    prm)
+    states, nstops, trace_o = _run_oracle(grid, z0, z1, x, y, z, nsteps,
+                                          oprm)
+    # no particle may exit (would desync the host-side nrand chase)
+    assert all(s == 0 for s in nstops)
+    assert bool(np.all(np.asarray(pk.active)))
+    _compare(traj_k, trace_o, nstops)
+
+
+def test_matched_positions_settling(met_setup):
+    """Heavy-aerosol settling active (get_settling.f90 iteration)."""
+    grid, z0, z1, height = met_setup
+    sp = dict(sp_density=2500.0, sp_dquer=10.0, sp_cunningham=1.02,
+              sp_vsetaver=-0.02)
+    cfg, prm, oprm = _params(grid, True, 1, settling=True, **sp)
+    n = 20
+    x, y, z = _start_positions(n)
+    z = np.clip(z, 50.0, 9000.0)     # keep away from the strat branches
+    nsteps = 4
+    pk, traj_k = _run_kernel_legacy(grid, z0, z1, x, y, z, nsteps, cfg,
+                                    prm)
+    states, nstops, trace_o = _run_oracle(grid, z0, z1, x, y, z, nsteps,
+                                          oprm)
+    assert all(s == 0 for s in nstops)
+    _compare(traj_k, trace_o, nstops)
+
+
+def test_matched_concentrations(met_setup):
+    """BASELINE.md correctness row at test scale: gridded concentrations
+    from kernel and oracle trajectories under matched RNG streams are
+    allclose (16 sync steps = a 4-h episode; the binning follows
+    conccalc.f90's uniform-kernel nearest-cell rule for young plumes)."""
+    grid, z0, z1, height = met_setup
+    cfg, prm, oprm = _params(grid, True, 1)
+    n = 60
+    rs = np.random.RandomState(7)
+    x = rs.uniform(20.0, 30.0, n)
+    y = rs.uniform(12.0, 18.0, n)
+    z = rs.uniform(20.0, 600.0, n)
+    nsteps = 12
+    pk, traj_k = _run_kernel_legacy(grid, z0, z1, x, y, z, nsteps, cfg,
+                                    prm)
+    states, nstops, trace_o = _run_oracle(grid, z0, z1, x, y, z, nsteps,
+                                          oprm)
+    assert all(s == 0 for s in nstops)
+
+    def gridded(traj):
+        acc = np.zeros((grid.ny, grid.nx))
+        for step in traj:
+            ix = np.clip(np.round(step[:, 0]).astype(int), 0, grid.nx - 1)
+            iy = np.clip(np.round(step[:, 1]).astype(int), 0, grid.ny - 1)
+            low = step[:, 2] < 3000.0
+            np.add.at(acc, (iy[low], ix[low]), 1.0 / n)
+        return acc
+
+    ck = gridded(traj_k)
+    co = gridded([t for t in trace_o])
+    # matched streams: identical trajectories up to f32 roundoff, so the
+    # binned fields agree except for particles within roundoff of a cell
+    # edge — allow a tiny L1 discrepancy
+    l1 = np.abs(ck - co).sum() / max(co.sum(), 1e-12)
+    assert l1 < 0.02, f"gridded concentration L1 mismatch {l1}"
+
+
+def test_matched_across_wind_intervals(met_setup):
+    """Continue the matched comparison across a getfields buffer swap
+    (two 3-h wind intervals, 24 sync steps total): the ran3 chain, the
+    turbulence memory, and the interpolation time weights must all
+    carry over exactly (timemanager.f90:311-346 memtime rotation)."""
+    grid, z0, z1, height = met_setup
+    # third time level: reuse z0 (fields differ between z0/z1 so the
+    # temporal interpolation is still exercised in both intervals)
+    z2 = z0
+    cfg, prm, oprm = _params(grid, True, 1)
+    n = 16
+    x, y, z = _start_positions(n)
+    per = MEMTIME[1] // LSYNC            # steps per interval
+
+    pk, traj1 = _run_kernel_legacy(grid, z0, z1, x, y, z, per, cfg, prm)
+    stream_k = None  # rebuilt below: recreate to keep helper simple
+    # rebuild the host stream state by replay, then continue interval 2
+    stream_k = NrandStream(SEED, MAXRAND)
+    for j in range(n):
+        stream_k.next_nrand()            # init draws, step 0
+        stream_k.next_nrand()            # advance draws, step 0
+    for _ in range(per - 1):
+        for j in range(n):
+            stream_k.next_nrand()
+    pk, traj2 = _run_kernel_legacy(grid, z1, z2, x, y, z, per, cfg, prm,
+                                   memtime=(MEMTIME[1], 2 * MEMTIME[1]),
+                                   itime0=MEMTIME[1], stream=stream_k,
+                                   p=pk, first=False)
+
+    parts = [dict(xt=np.float64(x[j]), yt=np.float64(y[j]),
+                  zt=np.float32(z[j])) for j in range(n)]
+    stream_o = NrandStream(SEED, MAXRAND)
+    states, nstops, trace1 = run_oracle(
+        oprm, _NpZ(z0), _NpZ(z1), MEMTIME, parts, per, itime0=0,
+        seed=SEED, stream=stream_o)
+    states, nstops, trace2 = run_oracle(
+        oprm, _NpZ(z1), _NpZ(z2), (MEMTIME[1], 2 * MEMTIME[1]), states,
+        per, itime0=MEMTIME[1], seed=SEED, stream=stream_o,
+        nstops=nstops, do_init=False)
+    assert all(s == 0 for s in nstops)
+    assert bool(np.all(np.asarray(pk.active)))
+    _compare(traj1 + traj2,
+             [np.asarray(t, np.float64) for t in trace1 + trace2],
+             nstops, atol_xy=2e-2, atol_z=5.0)
