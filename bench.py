@@ -1,9 +1,13 @@
-"""Headline benchmark: particle-steps/s of the advance hot path.
+"""Headline benchmark: particle-steps/s of the full per-step hot path.
 
-Runs the full vectorized advance kernel (PBL Langevin + free-troposphere +
-mesoscale + Petterssen corrector + BCs — the reference's
-timemanager.f90:531 x advance.f90 hot loop) plus the conccalc scatter on
-~10M particles on one chip, and prints ONE JSON line.
+Each timed step runs BOTH halves of the reference's inner loop
+(timemanager.f90:531-712): the vectorized advance kernel (PBL Langevin +
+free-troposphere + mesoscale + Petterssen corrector + BCs, stock-COMMAND
+config: CTL<0 fixed step, ifine=1) AND the conccalc scatter-add into the
+7-D output accumulator (conccalc.f90, sampled every sync step like the
+stock loutsample=lsynctime), on ~10.5M particles on one chip.  REF1-like
+setup (README_PARALLEL.md:108-118): global met grid, 0.5-deg 720x360
+output grid.  Prints ONE JSON line.
 
 vs_baseline is measured against 1.0e6 particle-steps/s, an optimistic
 single-node estimate for the Fortran reference (the repo publishes no
@@ -17,6 +21,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 FORTRAN_BASELINE_PSTEPS_PER_S = 1.0e6
 N_PARTICLES = 10 * 2 ** 20          # ~10.5M (chunked advance)
@@ -24,8 +29,12 @@ N_STEPS = 10
 
 
 def main():
+    from flexpart_tpu.config import OutGrid
     from flexpart_tpu.core import StepConfig, StepParams, advance_chunked
     from flexpart_tpu.core.state import empty_particles
+    from flexpart_tpu.grid.conccalc import ConcConfig, make_conccalc
+    from flexpart_tpu.grid.outgrid import (OutputGridGeometry,
+                                           zero_accumulators)
     from flexpart_tpu.met import (calcpar, compute_heights, make_grid,
                                   process_eta, uniform_wind_met)
 
@@ -57,23 +66,39 @@ def main():
                           dxconst=grid.dxconst, dyconst=grid.dyconst,
                           lsynctime=900, fine=1.0)
 
+    # REF1 output grid: global 0.5 deg, 3 layers
+    og = OutGrid(outlon0=-180.0, outlat0=-90.0, numxgrid=720,
+                 numygrid=360, dxout=0.5, dyout=0.5,
+                 outheights=(100.0, 1000.0, 50000.0))
+    geo = OutputGridGeometry(og, grid)
+    ccfg = ConcConfig(nxg=geo.nxg, nyg=geo.nyg, nzg=geo.nzg,
+                      npointspec=1, nclassunc=1, nage=1,
+                      dxout=og.dxout, dyout=og.dyout,
+                      xoutshift=geo.xoutshift, youtshift=geo.youtshift,
+                      dx_met=grid.dx, dy_met=grid.dy, ind_samp=0)
+    conccalc = make_conccalc(og.outheights)
+    acc = zero_accumulators(geo, 1, 1, 1, 1)
+    lage = jnp.asarray(np.asarray([999999999], np.int32))
+
     n_chunks = max(1, n // (2 ** 19))
 
-    def step(p, itime, k):
+    def step(p, acc, itime, k):
         newp, diag = advance_chunked(p, z0, z0, itime, jnp.int32(0),
                                      jnp.int32(86400), k, cfg, prm, n_chunks)
-        return newp, diag
+        acc = conccalc(acc, newp, z0, itime + 900, lage,
+                       jnp.float32(1.0), ccfg)
+        return newp, acc, diag
 
     # warmup/compile
-    p1, diag = step(p, jnp.int32(0), jax.random.PRNGKey(1))
-    jax.block_until_ready(p1)
+    p1, acc1, diag = step(p, acc, jnp.int32(0), jax.random.PRNGKey(1))
+    jax.block_until_ready((p1, acc1))
 
     t0 = time.perf_counter()
     pc = p
     for i in range(N_STEPS):
-        pc, diag = step(pc, jnp.int32(i * 900),
-                        jax.random.fold_in(jax.random.PRNGKey(2), i))
-    jax.block_until_ready(pc)
+        pc, acc, diag = step(pc, acc, jnp.int32(i * 900),
+                             jax.random.fold_in(jax.random.PRNGKey(2), i))
+    jax.block_until_ready((pc, acc))
     dt = time.perf_counter() - t0
 
     psteps = n * N_STEPS / dt

@@ -27,7 +27,8 @@ from ..met.fields import ZFields, F2_HMIX, F2_TROPO, F2_USTAR, F2_WSTAR, F2_OLI,
 from . import rng
 from .cbl import cbl_terms, reinit_wp
 from .hanna import hanna, hanna1
-from .interp import (HorizWeights, blend_wind_stack, horiz_weights,
+from .interp import (HorizWeights, StepTables, blend_wind_stack,
+                     build_step_tables, horiz_weights, sample_2d_packed,
                      vert_weights, interp_wind_blended, interp_wind_legacy,
                      interp_wind_short, interp_wind_short_blended,
                      interp_2d, gather_corners_2d_ln, hmix_max)
@@ -61,6 +62,16 @@ class StepConfig(NamedTuple):
     tile_mode: bool = False     # domain-decomposed tile step: positions
     #                             are tile-local, BCs/exits are applied
     #                             GLOBALLY by the caller (parallel/domain)
+    met_bf16: bool = False      # store the per-step blended 3-D stacks in
+    #                             bfloat16 (~0.4% wind rounding, widened
+    #                             to f32 right after the gather).
+    #                             Measured on v5e: a net LOSS for the
+    #                             (5, nz*ny*nx) stack — bf16 tiles as
+    #                             (16,128) so the 5-row table pads 3.2x
+    #                             and the gather slows down (58.5ms vs
+    #                             55.7ms per 512k chunk); kept as an
+    #                             option for larger field stacks where
+    #                             HBM capacity matters
 
 
 class StepParams(NamedTuple):
@@ -169,9 +180,11 @@ def _legacy_draws(leg: LegacyRnd, cfg: StepConfig, pbl, in_trop, in_trans):
 
 
 class StepDiag(NamedTuple):
-    """Per-step diagnostics (analog of nstop bookkeeping)."""
+    """Per-step diagnostics (analog of nstop bookkeeping + the CBL
+    nan_count of timemanager.f90:714-727)."""
     n_active: jnp.ndarray
     n_exited: jnp.ndarray
+    nan_count: jnp.ndarray
 
 
 def _viscosity(t):
@@ -254,6 +267,7 @@ def _pbl_vertical(cfg: StepConfig, prm: StepParams, z, wp, icbt, h, ust, wst,
     turb = hanna(z, h, ust, wst, ol) if (cfg.turbswitch or cfg.cblflag) \
         else hanna1(z, h, ust, wst, ol)
     dtftlw = dtf / turb.tlw                      # stale by design
+    nan_mask = jnp.zeros_like(z, bool)
     rw = jnp.exp(-dtftlw)
     rnd_exact = jnp.sqrt(jnp.maximum(1.0 - rw * rw, 0.0))
     rnd_lin = jnp.sqrt(2.0 * dtftlw)
@@ -281,8 +295,9 @@ def _pbl_vertical(cfg: StepConfig, prm: StepParams, z, wp, icbt, h, ust, wst,
                     + sig * rnd_w[i] * rnd_lin) * icbtf
             wp_new = jnp.where(cbl_zone, wp_c, wp_g)
             # NaN safety net (advance.f90:435-441 nan_count2 redraw)
-            wp_new = jnp.where(jnp.isfinite(wp_new), wp_new,
-                               sig * rnd_w[i])
+            nonfin = ~jnp.isfinite(wp_new)
+            nan_mask = nan_mask | nonfin
+            wp_new = jnp.where(nonfin, sig * rnd_w[i], wp_new)
             delz = wp_new * dtf
         elif cfg.turbswitch:
             # Gaussian branch (advance.f90:446-455); wp normalized by sigw
@@ -309,7 +324,7 @@ def _pbl_vertical(cfg: StepConfig, prm: StepParams, z, wp, icbt, h, ust, wst,
             turb = hanna(z, h, ust, wst, ol) if (cfg.turbswitch
                                                  or cfg.cblflag) \
                 else hanna1(z, h, ust, wst, ol)
-    return z, wp, icbt, turb
+    return z, wp, icbt, turb, nan_mask
 
 
 def _pbl_adaptive(cfg: StepConfig, prm: StepParams, key, z, up, vp, wp,
@@ -352,7 +367,7 @@ def _pbl_adaptive(cfg: StepConfig, prm: StepParams, key, z, up, vp, wp,
         daw = daw + up * dt_i
         dcw = dcw + vp * dt_i
         rnd_w = rng.normals(kk, (cfg.ifine, n), tag=2)
-        z2, wp2, icbt2, _ = _pbl_vertical(cfg, prm, z, wp, icbt, h, ust,
+        z2, wp2, icbt2, _, _nm = _pbl_vertical(cfg, prm, z, wp, icbt, h, ust,
                                           wst, ol, rho, drhodz, rnd_w,
                                           dt_i, key=kk)
         z = jnp.where(act, z2, z)
@@ -435,15 +450,30 @@ def _polar_update(prm: StepParams, x, y, dxsave, dysave, ldirf, nxm):
 
 
 def _sample_met(zA: ZFields, zB: ZFields, tw0, tw1, x, y, z, height,
-                nx: int, ny: int, xglobal: bool, legacy: bool = False):
+                nx: int, ny: int, xglobal: bool, legacy: bool = False,
+                tables: StepTables | None = None):
     """All met quantities the integrator needs at the particle, from one
     grid (mother or nest): the interpol_all/interpol_wind family.
+
+    Production path: everything comes from the per-step StepTables —
+    one packed 4-index gather for all 2-D quantities + one blended-stack
+    gather for the winds (the per-chunk gather-op count is the advance
+    bottleneck on v5e; splitting the 2-D sampling into hmix/tropo/
+    surface gathers costs ~4x more).
 
     With legacy=True the winds/sigmas use the reference-exact
     per-time-level interpolation and both sigma conventions (matched-RNG
     validation); the last return slot then carries the 16-sample sigma
     triple (None otherwise)."""
     hw = horiz_weights(x, y, nx, ny, xglobal)
+    indz, dz1 = vert_weights(z, height)
+    if not legacy:
+        if tables is None:
+            # endtime weights unused here; caller-facing fallback
+            tables = build_step_tables(zA, zB, tw0, tw1, tw0, tw1)
+        h, tropop, ust, wst, ol = sample_2d_packed(tables.pack2, hw, x, y)
+        wind = interp_wind_blended(tables.f3dt, hw, indz, dz1)
+        return hw, indz, dz1, h, tropop, ust, wst, ol, wind, None
     h = jnp.maximum(hmix_max(zA, zB, hw, F2_HMIX), 1.0)
     # tropopause: nearest grid point of the FIRST time level
     # (advance.f90:252 `tropopause(nix,njy,1,1)`); nint picks one of the
@@ -457,13 +487,7 @@ def _sample_met(zA: ZFields, zB: ZFields, tw0, tw1, x, y, z, height,
     f2dt = zA.f2d[sidx] * tw0 + zB.f2d[sidx] * tw1
     ust, wst, oliaux = interp_2d(f2dt, (0, 1, 2), hw)
     ol = jnp.where(oliaux != 0.0, 1.0 / oliaux, 99999.0)
-    indz, dz1 = vert_weights(z, height)
-    if legacy:
-        wind, sig16 = interp_wind_legacy(zA, zB, hw, indz, dz1, tw0, tw1)
-    else:
-        f3dt = blend_wind_stack(zA, zB, tw0, tw1)
-        wind = interp_wind_blended(f3dt, hw, indz, dz1)
-        sig16 = None
+    wind, sig16 = interp_wind_legacy(zA, zB, hw, indz, dz1, tw0, tw1)
     return hw, indz, dz1, h, tropop, ust, wst, ol, wind, sig16
 
 
@@ -472,13 +496,18 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
                 itime, memtime0, memtime1, key,
                 cfg: StepConfig, prm: StepParams,
                 z0n: ZFields | None = None, z1n: ZFields | None = None,
-                leg: LegacyRnd | None = None):
+                leg: LegacyRnd | None = None,
+                tables: StepTables | None = None,
+                tables_n: StepTables | None = None):
     """Advance every scheduled particle by one lsynctime interval.
 
     Returns (particles, diag).  Terminated-by-domain-exit particles get
     active=False (reference nstop=3, advance.f90:804-808).  With `leg`,
     every random draw comes from the reference's rannumb table in exact
-    consumption order (matched-RNG validation; no nests/CBL)."""
+    consumption order (matched-RNG validation; no nests/CBL).  `tables`
+    (per-step blended grid tables) can be precomputed once per sync
+    interval and shared across particle chunks (advance_chunked does);
+    if absent they are built here."""
     n = p.capacity
     scheduled = p.active
     legacy = leg is not None
@@ -489,6 +518,20 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     dt2 = (memtime1 - itime).astype(jnp.float32)
     dtt = 1.0 / (dt1 + dt2)
     tw0, tw1 = dt2 * dtt, dt1 * dtt
+    # Petterssen endpoint time weights (constant per step)
+    endtime = itime + prm.lsynctime.astype(jnp.int32) * cfg.ldirect
+    edt1 = (endtime - memtime0).astype(jnp.float32)
+    edt2 = (memtime1 - endtime).astype(jnp.float32)
+    edtt = 1.0 / jnp.maximum(edt1 + edt2, 1e-6)
+    ew0, ew1 = edt2 * edtt, edt1 * edtt
+    if not legacy:
+        mdt = jnp.bfloat16 if cfg.met_bf16 else jnp.float32
+        if tables is None:
+            tables = build_step_tables(z0, z1, tw0, tw1, ew0, ew1,
+                                       dtype=mdt)
+        if cfg.nest_nx and tables_n is None:
+            tables_n = build_step_tables(z0n, z1n, tw0, tw1, ew0, ew1,
+                                         dtype=mdt)
 
     x = p.x
     y = p.y
@@ -497,7 +540,7 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     (hw, indz, dz1, h, tropop, ust, wst, ol,
      wind, sig16) = _sample_met(z0, z1, tw0, tw1, x, y, z, height,
                                 cfg.nx, cfg.ny, cfg.xglobal,
-                                legacy=legacy)
+                                legacy=legacy, tables=tables)
 
     # nested met fields: recompute for particles inside the nest window
     # and select (advance.f90:161-175 nest branch; the reference picks
@@ -512,7 +555,8 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
         ytn = jnp.clip(ytn, 0.0, cfg.nest_ny - 1.001)
         (_, indz_n, dz1_n, h_n, trop_n, ust_n, wst_n, ol_n,
          wind_n, _) = _sample_met(z0n, z1n, tw0, tw1, xtn, ytn, z, height,
-                                  cfg.nest_nx, cfg.nest_ny, False)
+                                  cfg.nest_nx, cfg.nest_ny, False,
+                                  tables=tables_n)
         sel_n = lambda a, b: jnp.where(in_nest, a, b)
         h = sel_n(h_n, h)
         tropop = sel_n(trop_n, tropop)
@@ -602,7 +646,7 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
             up_pbl = jnp.zeros_like(up_pbl)
             vp_pbl = jnp.zeros_like(vp_pbl)
 
-        z_pbl, wp_pbl, icbt, _ = _pbl_vertical(
+        z_pbl, wp_pbl, icbt, _, nan_mask = _pbl_vertical(
             cfg, prm, z, p.wp, p.cbt, h, ust, wst, ol, wind.rho,
             wind.drhodz, rnd_w, dt, key=key)
         daw_pbl = up_pbl * dt
@@ -715,8 +759,6 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     z_new = jnp.minimum(z_new, htop)
 
     # ---------------- Petterssen corrector (advance.f90:816-986) ------------
-    ldt = prm.lsynctime.astype(jnp.int32)
-    endtime = itime + ldt * cfg.ldirect
     can_pett = (jnp.abs(endtime) <= jnp.abs(memtime1)) & (~exited)
     if cfg.polar and cfg.tile_mode:
         # tile mode: a cap-ending predictor may land outside this tile's
@@ -728,19 +770,15 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
         can_pett = can_pett & ~pol
     xn = x_hi + x_lo
     yn = y_hi + y_lo
-    edt1 = (endtime - memtime0).astype(jnp.float32)
-    edt2 = (memtime1 - endtime).astype(jnp.float32)
-    edtt = 1.0 / jnp.maximum(edt1 + edt2, 1e-6)
     hw2 = horiz_weights(xn, yn, cfg.nx, cfg.ny, cfg.xglobal)
     indz2, dz1_2 = vert_weights(z_new, height)
     if legacy:
         # reference-exact per-time-level corrector wind
         # (interpol_wind_short.f90)
         u2, v2, w2 = interp_wind_short(z0, z1, hw2, indz2, dz1_2,
-                                       edt2 * edtt, edt1 * edtt)
+                                       ew0, ew1)
     else:
-        f3dt_end = blend_wind_stack(z0, z1, edt2 * edtt, edt1 * edtt)[:3]
-        u2, v2, w2 = interp_wind_short_blended(f3dt_end, hw2, indz2,
+        u2, v2, w2 = interp_wind_short_blended(tables.f3de, hw2, indz2,
                                                dz1_2)
     if cfg.nest_nx:
         in_nest2 = ((xn > prm.xln + eps_n) & (xn < prm.xrn - eps_n)
@@ -750,9 +788,7 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
         ytn2 = jnp.clip((yn - prm.yln) * prm.yresoln, 0.0,
                         cfg.nest_ny - 1.001)
         hw2n = horiz_weights(xtn2, ytn2, cfg.nest_nx, cfg.nest_ny, False)
-        f3dt_end_n = blend_wind_stack(z0n, z1n, edt2 * edtt,
-                                      edt1 * edtt)[:3]
-        u2n, v2n, w2n = interp_wind_short_blended(f3dt_end_n, hw2n,
+        u2n, v2n, w2n = interp_wind_short_blended(tables_n.f3de, hw2n,
                                                   indz2, dz1_2)
         u2 = jnp.where(in_nest2, u2n, u2)
         v2 = jnp.where(in_nest2, v2n, v2)
@@ -808,9 +844,14 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
                        p.itra),
         active=jnp.where(scheduled, keep, p.active),
     )
+    if cfg.method != 1 and not legacy:
+        nanc = jnp.sum((nan_mask & scheduled & pbl).astype(jnp.int32))
+    else:
+        nanc = jnp.zeros((), jnp.int32)
     diag = StepDiag(
         n_active=jnp.sum(new_p.active.astype(jnp.int32)),
         n_exited=jnp.sum((scheduled & exited).astype(jnp.int32)),
+        nan_count=nanc,
     )
     return new_p, diag
 
@@ -831,16 +872,35 @@ def advance_chunked(p: Particles, z0: ZFields, z1: ZFields,
     b = n // n_chunks
     pc = jax.tree.map(lambda a: a.reshape((n_chunks, b) + a.shape[1:]), p)
 
+    # per-step grid tables built ONCE, shared by every chunk (the lax.map
+    # body closes over them so XLA keeps a single copy in HBM instead of
+    # re-blending the full stack per chunk)
+    dt1 = (itime - memtime0).astype(jnp.float32)
+    dt2 = (memtime1 - itime).astype(jnp.float32)
+    dtt = 1.0 / (dt1 + dt2)
+    endtime = itime + prm.lsynctime.astype(jnp.int32) * cfg.ldirect
+    edt1 = (endtime - memtime0).astype(jnp.float32)
+    edt2 = (memtime1 - endtime).astype(jnp.float32)
+    edtt = 1.0 / jnp.maximum(edt1 + edt2, 1e-6)
+    mdt = jnp.bfloat16 if cfg.met_bf16 else jnp.float32
+    tables = build_step_tables(z0, z1, dt2 * dtt, dt1 * dtt,
+                               edt2 * edtt, edt1 * edtt, dtype=mdt)
+    tables_n = (build_step_tables(z0n, z1n, dt2 * dtt, dt1 * dtt,
+                                  edt2 * edtt, edt1 * edtt, dtype=mdt)
+                if cfg.nest_nx else None)
+
     def body(args):
         pi, i = args
         ki = jax.random.fold_in(key, i)
         return advance_all(pi, z0, z1, itime, memtime0, memtime1, ki,
-                           cfg, prm, z0n, z1n)
+                           cfg, prm, z0n, z1n, tables=tables,
+                           tables_n=tables_n)
 
     pout, diag = jax.lax.map(body, (pc, jnp.arange(n_chunks)))
     p2 = jax.tree.map(lambda a: a.reshape((n,) + a.shape[2:]), pout)
     return p2, StepDiag(n_active=diag.n_active.sum(),
-                        n_exited=diag.n_exited.sum())
+                        n_exited=diag.n_exited.sum(),
+                        nan_count=diag.nan_count.sum())
 
 
 def _apply_bcs(cfg: StepConfig, prm: StepParams, x_hi, x_lo, y_hi, y_lo):

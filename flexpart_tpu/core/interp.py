@@ -199,6 +199,66 @@ def blend_wind_stack(z0: ZFields, z1: ZFields, tw0, tw1):
     return z0.f3d[idx] * tw0 + z1.f3d[idx] * tw1         # (5, nz, ny, nx)
 
 
+class StepTables(NamedTuple):
+    """Per-step grid tables, built ONCE per sync interval and shared by
+    every particle chunk (v5e measurement: the per-chunk gather-op count
+    dominates the advance step, and the 2-D sampling pattern —
+    hmix 8 corners x 2 times + tropopause 4 + ustar/wstar/oli 12 — costs
+    4x more as separate gathers than as one packed-row gather)."""
+    f3dt: jnp.ndarray    # (5, nz, ny, nx) time-blended u,v,w,rho,drhodz
+    f3de: jnp.ndarray    # (3, nz, ny, nx) endtime-blended u,v,w (Petterssen)
+    pack2: jnp.ndarray   # (8, ny, nx): [max-time hmix, tropo(t0),
+    #                      ustar_t, wstar_t, oli_t, 0, 0, 0]
+
+
+def build_step_tables(z0: ZFields, z1: ZFields, tw0, tw1, ew0, ew1,
+                      dtype=jnp.float32) -> StepTables:
+    """One fused elementwise pass over the grid per step (cheap next to
+    the per-particle gathers it feeds).  hmix takes the max over the two
+    time levels here so the per-particle reduction is only over the 4
+    corners (max commutes; advance.f90:236-252).
+
+    dtype=bfloat16 halves the random-gather traffic of the two 3-D
+    stacks (~15% of the advance step on v5e); values are widened back to
+    f32 right after the gather, so only the stored wind/density values
+    carry the 8-bit-mantissa rounding (~0.4% — far below the turbulent
+    velocity scale the integrator adds on top)."""
+    from ..met.fields import F2_HMIX, F2_OLI, F2_TROPO, F2_USTAR, F2_WSTAR
+    f3dt = blend_wind_stack(z0, z1, tw0, tw1).astype(dtype)
+    idx3 = jnp.asarray((F3_U, F3_V, F3_W))
+    f3de = (z0.f3d[idx3] * ew0 + z1.f3d[idx3] * ew1).astype(dtype)
+    sidx = jnp.asarray((F2_USTAR, F2_WSTAR, F2_OLI))
+    f2dt = z0.f2d[sidx] * tw0 + z1.f2d[sidx] * tw1
+    pack2 = jnp.concatenate([
+        jnp.maximum(z0.f2d[F2_HMIX], z1.f2d[F2_HMIX])[None],
+        z0.f2d[F2_TROPO][None],
+        f2dt,
+        jnp.zeros((3,) + z0.f2d.shape[1:], z0.f2d.dtype),
+    ], axis=0)
+    return StepTables(f3dt=f3dt, f3de=f3de, pack2=pack2)
+
+
+def sample_2d_packed(pack2, hw: HorizWeights, x, y):
+    """All 2-D met quantities from ONE 4-index strided gather of the
+    packed table: (h, tropop, ust, wst, ol)."""
+    ny, nx = pack2.shape[1:]
+    g = pack2.reshape(8, ny * nx)[:, hw.idx4.T]        # (8, 4, N)
+    h = jnp.maximum(jnp.max(g[0], axis=0), 1.0)
+    # tropopause: nearest corner of the first time level
+    # (advance.f90:252 `tropopause(nix,njy,1,1)`)
+    ix_n = (x - hw.ix) >= 0.5
+    iy_n = (y - hw.jy) >= 0.5
+    trop_c = g[1]
+    tropop = jnp.where(iy_n, jnp.where(ix_n, trop_c[3], trop_c[2]),
+                       jnp.where(ix_n, trop_c[1], trop_c[0]))
+    p4t = hw.p4.T                                      # (4, N)
+    ust = jnp.sum(g[2] * p4t, axis=0)
+    wst = jnp.sum(g[3] * p4t, axis=0)
+    oliaux = jnp.sum(g[4] * p4t, axis=0)
+    ol = jnp.where(oliaux != 0.0, 1.0 / oliaux, 99999.0)
+    return h, tropop, ust, wst, ol
+
+
 def gather_corners_3d_ln(f3d, field_ids, hw: HorizWeights, indz):
     """Lanes-first corner gather: (F, 2, 4, N) — see gather_corners_2d_ln
     for the layout rationale."""
@@ -216,6 +276,7 @@ def interp_wind_blended(f3dt, hw: HorizWeights, indz, dz1) -> WindInterp:
     spatial part dominates and temporal smoothing only slightly lowers
     the heuristic mesoscale amplitude (turbmesoscale=0.16 scaling)."""
     c = gather_corners_3d_ln(f3dt, (0, 1, 2, 3, 4), hw, indz)  # (5,2,4,N)
+    c = c.astype(jnp.float32)          # widen right after the gather
     p4t = hw.p4.T                                              # (4,N)
     lev = jnp.sum(c * p4t[None, None], axis=2)                 # (5,2,N)
     val = lev[:, 0] * (1.0 - dz1) + lev[:, 1] * dz1
@@ -234,6 +295,7 @@ def interp_wind_blended(f3dt, hw: HorizWeights, indz, dz1) -> WindInterp:
 def interp_wind_short_blended(f3dt, hw: HorizWeights, indz, dz1):
     """Petterssen-corrector wind from a pre-blended (end-time) stack."""
     c = gather_corners_3d_ln(f3dt, (0, 1, 2), hw, indz)        # (3,2,4,N)
+    c = c.astype(jnp.float32)
     lev = jnp.sum(c * hw.p4.T[None, None], axis=2)
     val = lev[:, 0] * (1.0 - dz1) + lev[:, 1] * dz1
     return val[0], val[1], val[2]

@@ -76,6 +76,29 @@ class OutputGridGeometry:
         dz = np.diff(np.concatenate([[0.0], oh]))
         return dz[:, None, None] * self.area[None]
 
+    @functools.cached_property
+    def areaeast(self) -> np.ndarray:
+        """Eastward-facing cell wall area [m2], (nzg, nyg, nxg)
+        (outgrid_init.f90:88-93)."""
+        oh = self.outheight
+        dz = np.diff(np.concatenate([[0.0], oh]))
+        ae = dz * self.og.dyout * R_EARTH * PI / 180.0
+        return np.broadcast_to(ae[:, None, None],
+                               (self.nzg, self.nyg, self.nxg)).copy()
+
+    @functools.cached_property
+    def areanorth(self) -> np.ndarray:
+        """Northward-facing cell wall area [m2], (nzg, nyg, nxg)
+        (outgrid_init.f90:89-95)."""
+        oh = self.outheight
+        dz = np.diff(np.concatenate([[0.0], oh]))
+        ylat = self.og.outlat0 + (np.arange(self.nyg) + 0.5) \
+            * self.og.dyout
+        an = (np.cos(np.deg2rad(ylat))[None] * dz[:, None]
+              * self.og.dxout * R_EARTH * PI / 180.0)
+        return np.broadcast_to(an[:, :, None],
+                               (self.nzg, self.nyg, self.nxg)).copy()
+
 
 class Accumulators(NamedTuple):
     """Device-resident output accumulators (unc_mod.f90:17-37).  Species is

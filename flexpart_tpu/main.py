@@ -58,7 +58,9 @@ def build_simulation(pathnames: str, met: str = "auto",
                      capacity: int | None = None, seed: int = 1234,
                      write_fortran: bool = False,
                      distributed: str | None = None,
-                     n_devices: int | None = None):
+                     n_devices: int | None = None,
+                     profile: bool = False,
+                     trace_dir: str | None = None):
     from .config import (AgeClasses, Command, OutGrid, Pathnames, Releases,
                          read_receptors)
     from .run.simulation import Simulation
@@ -127,7 +129,8 @@ def build_simulation(pathnames: str, met: str = "auto",
         receptors=receptors, outgrid_nest=outgrid_nest,
         met_nests=met_nests, oh_field=oh_field,
         write_fortran=write_fortran,
-        distributed=distributed, n_devices=n_devices)
+        distributed=distributed, n_devices=n_devices,
+        profile=profile, trace_dir=trace_dir)
     return sim
 
 
@@ -155,6 +158,13 @@ def main(argv=None) -> int:
                          "(the FLEXPART_MPI/timemanager_mpi analog)")
     ap.add_argument("--devices", type=int, default=None,
                     help="cap the --dp mesh size (default: all devices)")
+    ap.add_argument("--profile", action="store_true",
+                    help="per-section device timing table at run end "
+                         "(the mpif_mtime instrumentation analog); "
+                         "written to <output>/profile.txt")
+    ap.add_argument("--trace-dir", default=None,
+                    help="capture a jax.profiler trace of the run here "
+                         "(view with xprof/tensorboard)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(
@@ -167,7 +177,9 @@ def main(argv=None) -> int:
                            capacity=args.capacity, seed=args.seed,
                            write_fortran=args.write_fortran,
                            distributed="dp" if args.dp else None,
-                           n_devices=args.devices)
+                           n_devices=args.devices,
+                           profile=args.profile,
+                           trace_dir=args.trace_dir)
     npart = (sim.particles.capacity if sim.particles is not None
              else -1)   # domain-filling builds particles at run start
     log.info("simulation configured: %d particles, grid %dx%dx%d",

@@ -86,12 +86,13 @@ def make_sharded_advance(mesh: Mesh, cfg: StepConfig):
         p, diag = advance_all(p, z0, z1, itime, mt0, mt1, key, cfg, prm)
         return p, StepDiag(
             n_active=jax.lax.psum(diag.n_active, PARTICLE_AXIS),
-            n_exited=jax.lax.psum(diag.n_exited, PARTICLE_AXIS))
+            n_exited=jax.lax.psum(diag.n_exited, PARTICLE_AXIS),
+            nan_count=jax.lax.psum(diag.nan_count, PARTICLE_AXIS))
 
     fn = jax.shard_map(
         _local, mesh=mesh,
         in_specs=(p_specs, P(), P(), P(), P(), P(), P(), P()),
-        out_specs=(p_specs, StepDiag(P(), P())),
+        out_specs=(p_specs, StepDiag(P(), P(), P())),
     )
     return jax.jit(fn)
 

@@ -85,6 +85,9 @@ class Simulation:
     #           (mpif_tm_reduce_grid, mpi_mod.f90:2395-2503)
     distributed: str | None = None
     n_devices: int | None = None     # cap the mesh size (default: all)
+    profile: bool = False            # named-section device timing table
+    #                                  (mpif_mtime analog; utils/profile)
+    trace_dir: str | None = None     # capture a jax.profiler trace here
 
     def __post_init__(self):
         cmd = self.cmd
@@ -196,7 +199,8 @@ class Simulation:
                 outheights=ogn.outheights,
                 species_names=tuple(s.name for s in self.releases.species),
                 start=cmd.bdate, iout=cmd.iout_eff,
-                write_netcdf=self.write_netcdf, write_npz=self.write_npz)
+                write_netcdf=self.write_netcdf, write_npz=self.write_npz,
+                nc_meta=self._nc_meta())
         self.lage = jnp.asarray(
             np.asarray(self.ageclasses.lage or (999999999,), np.int32))
 
@@ -238,7 +242,8 @@ class Simulation:
             outheights=self.outgrid.outheights,
             species_names=tuple(s.name for s in self.releases.species),
             start=cmd.bdate, iout=cmd.iout_eff,
-            write_netcdf=self.write_netcdf, write_npz=self.write_npz)
+            write_netcdf=self.write_netcdf, write_npz=self.write_npz,
+            nc_meta=self._nc_meta())
 
         if self.write_fortran:
             self._write_fortran_header()
@@ -251,6 +256,9 @@ class Simulation:
         self._reader = None              # lazy background reader thread
         self._key = jax.random.PRNGKey(self.seed)
         self.timings: dict[str, float] = {}
+        from ..utils.profile import SectionTimers
+        self.timers = SectionTimers(device_sync=self.profile)
+        self.nan_count = 0               # CBL redraws (advance.f90:437)
 
         # --- deposition / decay setup (wetdepo.f90, getvdep.f90 chain) ---
         species = self.releases.species
@@ -378,6 +386,91 @@ class Simulation:
             log.info("distributed particle-DP over %d devices", ndev)
 
 
+    def _nc_meta(self) -> dict:
+        """Reference-layout netCDF-4 metadata (netcdf_output_mod.f90:
+        writemetadata + the RELCOM/RELLNG/RELZZ/RELPART release block +
+        per-species physics attributes + output_units table)."""
+        cmd = self.cmd
+        rel = self.releases
+        # output units (Stohl et al. 2005 table 1; output_units())
+        if cmd.ldirect == 1:
+            units = "ng m-3" if cmd.ind_receptor == 1 else "ng kg-1"
+        else:
+            if cmd.ind_source == 1:
+                units = "s" if cmd.ind_receptor == 1 else "s m3 kg-1"
+            else:
+                units = "s kg m-3" if cmd.ind_receptor == 1 else "s"
+        prefix = "grid_conc_" if cmd.ldirect == 1 else "grid_time_"
+        if self.bkdep == 3:
+            prefix = "grid_wetdep_"
+        elif self.bkdep == 4:
+            prefix = "grid_drydep_"
+        t0 = cmd.bdate
+        relstart = [int((b.start - t0).total_seconds()) for b in rel.boxes]
+        relend = [int((b.end - t0).total_seconds()) for b in rel.boxes]
+        nspec = rel.nspec
+        xmass = np.zeros((nspec, rel.numpoint), np.float32)
+        for j, b in enumerate(rel.boxes):
+            for ks in range(min(nspec, len(b.mass))):
+                xmass[ks, j] = b.mass[ks]
+        species = []
+        for s in rel.species:
+            species.append(dict(
+                decay=float(s.decay), weightmolar=float(s.weightmolar),
+                ohcconst=float(s.ohcconst), ohdconst=float(s.ohdconst),
+                vsetaver=0.0,
+                weta_gas=float(s.weta_gas), wetb_gas=float(s.wetb_gas),
+                ccn_aero=float(s.ccn_aero), in_aero=float(s.in_aero),
+                dquer=float(s.dquer), henry=float(s.henry),
+                dryvel=float(s.dryvel), reldiff=float(s.reldiff),
+                f0=float(s.f0), density=float(s.density),
+                dsigma=float(s.dsigma)))
+        return {
+            "prefix": prefix,
+            "units": units,
+            "lage": list(self.ageclasses.lage or (999999999,)),
+            "global": {
+                "ldirect": int(cmd.ldirect),
+                "ibdate": f"{cmd.ibdate:08d}", "ibtime": f"{cmd.ibtime:06d}",
+                "iedate": f"{cmd.iedate:08d}", "ietime": f"{cmd.ietime:06d}",
+                "loutstep": int(cmd.loutstep),
+                "loutaver": int(cmd.loutaver),
+                "loutsample": int(cmd.loutsample),
+                "itsplit": int(cmd.itsplit),
+                "lsynctime": int(cmd.lsynctime),
+                "ctl": float(cmd.ctl), "ifine": int(cmd.ifine),
+                "iout": int(cmd.iout), "ipout": int(cmd.ipout),
+                "lsubgrid": int(cmd.lsubgrid),
+                "lconvection": int(cmd.lconvection),
+                "lagespectra": int(cmd.lagespectra),
+                "ipin": int(cmd.ipin),
+                "ioutputforeachrelease": int(cmd.ioutputforeachrelease),
+                "iflux": int(cmd.iflux),
+                "mdomainfill": int(getattr(cmd, "mdomainfill", 0)),
+                "ind_source": int(cmd.ind_source),
+                "ind_receptor": int(cmd.ind_receptor),
+                "mquasilag": int(cmd.mquasilag),
+                "nested_output": int(self.outgrid_nest is not None),
+                "surf_only": int(cmd.surf_only),
+                "linit_cond": int(getattr(cmd, "linit_cond", 0)),
+            },
+            "releases": {
+                "names": [b.comment for b in rel.boxes],
+                "RELLNG1": [b.lon1 for b in rel.boxes],
+                "RELLNG2": [b.lon2 for b in rel.boxes],
+                "RELLAT1": [b.lat1 for b in rel.boxes],
+                "RELLAT2": [b.lat2 for b in rel.boxes],
+                "RELZZ1": [b.z1 for b in rel.boxes],
+                "RELZZ2": [b.z2 for b in rel.boxes],
+                "RELKINDZ": [b.zkind for b in rel.boxes],
+                "RELSTART": relstart,
+                "RELEND": relend,
+                "RELPART": [b.parts for b in rel.boxes],
+                "RELXMASS": xmass,
+            },
+            "species": species,
+        }
+
     def _ensure_vdep_kernel(self, eta):
         if self._vdep_kernel is not None or not self.any_drydep:
             return
@@ -487,8 +580,7 @@ class Simulation:
             # convection needs the raw eta-level profiles too
             # (convmix.f90:168-189)
             self._buf[tsec] = (z, eta, zn)
-            self.timings["getfields"] = self.timings.get(
-                "getfields", 0.0) + _time.perf_counter() - t0
+            self.timers.add("getfields", _time.perf_counter() - t0)
         return self._buf[tsec][0]
 
     def _get_eta(self, tsec: int):
@@ -561,10 +653,16 @@ class Simulation:
         if self._reader is not None:
             self._reader.shutdown(wait=False, cancel_futures=True)
             self._reader = None
+        self.writer.close()
+        if self.use_nested_output:
+            self.writer_n.close()
 
     # ----- main loop -----
     def run(self, progress: bool = False, start_itime: int = 0):
         try:
+            if self.trace_dir:
+                with jax.profiler.trace(str(self.trace_dir)):
+                    return self._run(progress, start_itime)
             return self._run(progress, start_itime)
         finally:
             self.close()
@@ -636,31 +734,38 @@ class Simulation:
             # wet deposition over the interval ending at itime
             # (timemanager.f90:164-169; field nearest itime-lsync/2)
             if self.any_wetdep and istep > 0:
-                interp_t = itime - lsync // 2
-                zw = z0 if abs(mt0 - interp_t) < abs(mt1 - interp_t) else z1
-                lam, grfrac = wetscav_all(
-                    self.particles, zw, jnp.int32(itime),
-                    jnp.int32(cmd.lsynctime), self.wet_species,
-                    self.use_clwc)
-                self.particles, wdep = apply_wetdepo(
-                    self.particles, lam, grfrac, jnp.int32(cmd.lsynctime),
-                    jnp.int32(ldeltat), self.mass_species)
-                if cmd.ldirect == 1:
-                    self.acc = self.acc._replace(
-                        wetgridunc=self._scatter_depo(
-                            self.acc.wetgridunc, wdep, itime))
+                with self.timers.section("wetdepo",
+                                         sync=lambda: self.particles):
+                    interp_t = itime - lsync // 2
+                    zw = (z0 if abs(mt0 - interp_t) < abs(mt1 - interp_t)
+                          else z1)
+                    lam, grfrac = wetscav_all(
+                        self.particles, zw, jnp.int32(itime),
+                        jnp.int32(cmd.lsynctime), self.wet_species,
+                        self.use_clwc)
+                    self.particles, wdep = apply_wetdepo(
+                        self.particles, lam, grfrac,
+                        jnp.int32(cmd.lsynctime),
+                        jnp.int32(ldeltat), self.mass_species)
+                    if cmd.ldirect == 1:
+                        self.acc = self.acc._replace(
+                            wetgridunc=self._scatter_depo(
+                                self.acc.wetgridunc, wdep, itime))
 
             # OH chemistry (timemanager.f90:171,216: gethourlyOH +
             # ohreaction)
             if self.any_ohreact and istep > 0:
-                interp_t = itime - lsync // 2
-                zo = z0 if abs(mt0 - interp_t) < abs(mt1 - interp_t) else z1
-                oh0, oh1, to0, to1 = self._hourly_oh.fields_for(itime)
-                temps = self._cell_temps(zo)
-                self.particles = self._ohreaction(
-                    self.particles, oh0, oh1, jnp.int32(to0),
-                    jnp.int32(to1), jnp.int32(itime), temps,
-                    jnp.int32(cmd.lsynctime))
+                with self.timers.section("ohchem",
+                                         sync=lambda: self.particles):
+                    interp_t = itime - lsync // 2
+                    zo = (z0 if abs(mt0 - interp_t) < abs(mt1 - interp_t)
+                          else z1)
+                    oh0, oh1, to0, to1 = self._hourly_oh.fields_for(itime)
+                    temps = self._cell_temps(zo)
+                    self.particles = self._ohreaction(
+                        self.particles, oh0, oh1, jnp.int32(to0),
+                        jnp.int32(to1), jnp.int32(itime), temps,
+                        jnp.int32(cmd.lsynctime))
 
             # radioactive decay of deposited mass on the output grids
             # (timemanager.f90:269-304)
@@ -735,8 +840,9 @@ class Simulation:
                     jnp.int32(cmd.lsynctime), jnp.int32(itime),
                     nl=self.conv_kernel.nl, nx=self.grid.nx,
                     ny=self.grid.ny, ldirect=cmd.ldirect)
-                self.timings["convection"] = self.timings.get(
-                    "convection", 0.0) + _time.perf_counter() - t0c
+                if self.profile:
+                    jax.block_until_ready(self.particles)
+                self.timers.add("convection", _time.perf_counter() - t0c)
 
             # quasilagrangian compressed dump at window centers
             # (timemanager.f90:368-369)
@@ -762,22 +868,27 @@ class Simulation:
             if (ld * itime >= ld * loutstart and ld * itime <= ld * loutend
                     and (itime - loutstart) % loutsample == 0):
                 weight = 0.5 if itime in (loutstart, loutend) else 1.0
-                self.acc = self.conccalc(
-                    self.acc, self.particles, z1, jnp.int32(itime),
-                    self.lage, jnp.float32(weight), self.conc_cfg)
-                if self.use_nested_output:
-                    self.acc_n = self.conccalc_n(
-                        self.acc_n, self.particles, z1, jnp.int32(itime),
-                        self.lage, jnp.float32(weight), self.conc_cfg_n)
-                if self.receptor_set is not None:
-                    self.creceptor = sample_receptors(
-                        self.creceptor, self.receptor_set, self.particles,
-                        jnp.int32(itime), jnp.float32(weight),
-                        dx=self.grid.dx, dy=self.grid.dy)
+                with self.timers.section("conccalc",
+                                         sync=lambda: self.acc):
+                    self.acc = self.conccalc(
+                        self.acc, self.particles, z1, jnp.int32(itime),
+                        self.lage, jnp.float32(weight), self.conc_cfg)
+                    if self.use_nested_output:
+                        self.acc_n = self.conccalc_n(
+                            self.acc_n, self.particles, z1,
+                            jnp.int32(itime), self.lage,
+                            jnp.float32(weight), self.conc_cfg_n)
+                    if self.receptor_set is not None:
+                        self.creceptor = sample_receptors(
+                            self.creceptor, self.receptor_set,
+                            self.particles, jnp.int32(itime),
+                            jnp.float32(weight),
+                            dx=self.grid.dx, dy=self.grid.dy)
 
             # output (timemanager.f90:376-464)
             if itime == loutend and self._outnum() > 0:
-                self._write_output(itime)
+                with self.timers.section("output"):
+                    self._write_output(itime)
                 # particle dump cadence (timemanager.f90:453-455)
                 if cmd.ipout == 1 and (abs(itime) // abs(cmd.loutstep)) \
                         % max(cmd.ipoutfac, 1) == 0:
@@ -828,9 +939,9 @@ class Simulation:
                 jnp.int32(mt0), jnp.int32(mt1), key, self.step_cfg,
                 self.step_prm, z0n, z1n)
             n_act = int(diag.n_active)
+            self.nan_count += int(getattr(diag, "nan_count", 0))
             particle_steps += n_act
-            self.timings["advance"] = self.timings.get(
-                "advance", 0.0) + _time.perf_counter() - t0
+            self.timers.add("advance", _time.perf_counter() - t0)
 
             # per-step averaged-property accumulation (ipout=3,
             # partpos_average.f90 analog, timemanager.f90:617)
@@ -867,15 +978,17 @@ class Simulation:
 
             # decay + dry deposition + minmass (timemanager.f90:643-686)
             if self.any_drydep or self.any_decay:
-                vdep = z1.vdep if self.any_drydep else None
-                self.particles, ddep = apply_decay_drydep(
-                    self.particles, vdep, jnp.int32(cmd.lsynctime),
-                    jnp.int32(ldeltat), self.mass_species,
-                    has_vdep=self.any_drydep)
-                if self.any_drydep and cmd.ldirect == 1:
-                    self.acc = self.acc._replace(
-                        drygridunc=self._scatter_depo(
-                            self.acc.drygridunc, ddep, itime + lsync))
+                with self.timers.section("drydepo",
+                                         sync=lambda: self.particles):
+                    vdep = z1.vdep if self.any_drydep else None
+                    self.particles, ddep = apply_decay_drydep(
+                        self.particles, vdep, jnp.int32(cmd.lsynctime),
+                        jnp.int32(ldeltat), self.mass_species,
+                        has_vdep=self.any_drydep)
+                    if self.any_drydep and cmd.ldirect == 1:
+                        self.acc = self.acc._replace(
+                            drygridunc=self._scatter_depo(
+                                self.acc.drygridunc, ddep, itime + lsync))
 
             # age-class termination (timemanager.f90:701-707)
             max_age = self.ageclasses.max_age
@@ -910,8 +1023,21 @@ class Simulation:
             z0, z1, mt0, mt1 = self._fields_for(itime)
             self._write_partdump(itime, z0, z1, mt0, mt1, end=True)
         self.last_itime = itime
+        self.timings.update(self.timers.seconds)
         self.timings["wall"] = _time.perf_counter() - t_wall0
         self.timings["particle_steps"] = particle_steps
+        if self.nan_count > 0:
+            # the reference warns when the CBL scheme redraws NaNs
+            # (timemanager.f90:714-727 nan_count reporting)
+            log.warning("CBL scheme redrew %d NaN velocities; reduce "
+                        "ifine if this is a non-negligible fraction of "
+                        "the particle count", self.nan_count)
+        if self.profile:
+            report = self.timers.report(extra={
+                "psteps/s": f"{particle_steps / max(self.timings['wall'], 1e-9):.0f}",
+                "nan_count": self.nan_count})
+            log.info("per-section timings (device-synced):\n%s", report)
+            (Path(self.outdir) / "profile.txt").write_text(report + "\n")
         return self.particles
 
     def _write_fortran_header(self):
@@ -1123,17 +1249,39 @@ class Simulation:
         from pathlib import Path as _P
         if self.receptor_set is not None:
             # receptor concentrations in output units (ng/m3 analog):
-            # 1e12 * mean over samples (receptor_output.f90 analog)
+            # 1e12 * mean over samples (concoutput.f90:670-676)
             rc = np.asarray(self.creceptor) * 1.0e12 / outnum
             np.savez(_P(self.outdir) / f"receptor_conc_{datestamp(when)}"
                      ".npz",
                      conc=rc, names=np.asarray(self.receptor_names))
+            # reference unformatted receptor_conc (openreceptors.f90 +
+            # concoutput.f90:672-676), appended per output time
+            from ..io.fortran_writer import (append_receptor,
+                                             write_receptor_header)
+            rpath = _P(self.outdir) / "receptor_conc"
+            if not rpath.exists():
+                rs = self.receptor_set
+                lons = (np.asarray(rs.x) * self.grid.dx
+                        + self.grid.xlon0)
+                lats = (np.asarray(rs.y) * self.grid.dy
+                        + self.grid.ylat0)
+                write_receptor_header(rpath, self.receptor_names,
+                                      lons, lats)
+            append_receptor(rpath, itime, rc)
             self.creceptor = jnp.zeros_like(self.creceptor)
         if self.use_flux:
-            # grid_flux output (fluxoutput.f90): per-volume, per-sample
+            # grid_flux output (fluxoutput.f90): per-face ng/m2/s in the
+            # reference's unformatted layout + raw npz
             np.savez_compressed(
                 _P(self.outdir) / f"grid_flux_{datestamp(when)}.npz",
                 flux=np.asarray(self.flux))
+            from ..io.fortran_writer import write_flux
+            write_flux(_P(self.outdir) / f"grid_flux_{datestamp(when)}",
+                       itime, np.asarray(self.flux), self.geo.areaeast,
+                       self.geo.areanorth, self.geo.area,
+                       abs(self.cmd.loutstep))
+            # reset per output interval (fluxoutput.f90:287-300)
+            self.flux = jnp.zeros_like(self.flux)
         if self.use_plumetraj:
             z0, z1, mt0, mt1 = self._fields_for(itime)
             from ..io.partdump import particle_diagnostics

@@ -162,3 +162,51 @@ def test_ipout3_and_quasilag(tmp_path):
     rec0 = struct.unpack_from("<ihhh", data, off)
     assert rec0[0] == 1            # npoint is 1-based
     assert 35 * 360 < rec0[2] < 47 * 360
+
+
+def test_flux_roundtrip(tmp_path):
+    """write_flux <-> read_flux byte-format round trip, both sparse and
+    dense branches (fluxoutput.f90:98-268)."""
+    from flexpart_tpu.io.fortran_writer import read_flux, write_flux
+    rng = np.random.RandomState(0)
+    shape = (6, 2, 1, 3, 5, 7, 2)      # (face,nage,kp,kz,jy,ix,ks)
+    flux = np.zeros(shape, np.float32)
+    # sparse face: a few cells; dense face: >2/5 occupancy
+    flux[0, 0, 0, 1, 2, 3, 0] = 4.0e-12
+    flux[0, 0, 0, 2, 4, 6, 0] = 8.0e-12
+    flux[3, 1, 0] = rng.uniform(1e-12, 5e-12,
+                                (3, 5, 7)).astype(np.float32)[..., None]
+    areaeast = np.full((3, 5, 7), 2.0)
+    areanorth = np.full((3, 5, 7), 4.0)
+    area = np.full((5, 7), 8.0)
+    path = tmp_path / "grid_flux_20200101000000"
+    write_flux(path, 3600, flux, areaeast, areanorth, area, 1800.0)
+    itime, out = read_flux(path, shape)
+    assert itime == 3600
+    expect = np.zeros_like(flux)
+    for f, fa in ((0, areaeast), (1, areaeast), (2, areanorth),
+                  (3, areanorth), (4, area[None]), (5, area[None])):
+        expect[f] = (1.0e12 * flux[f]
+                     / np.broadcast_to(fa, flux[f].shape[1:-1])[None, None, ..., None]
+                     / 1800.0)
+    np.testing.assert_allclose(out, expect.astype(np.float32), rtol=1e-6)
+
+
+def test_receptor_file_roundtrip(tmp_path):
+    from flexpart_tpu.io.fortran_writer import (append_receptor,
+                                                read_receptor,
+                                                write_receptor_header)
+    path = tmp_path / "receptor_conc"
+    write_receptor_header(path, ["ALPHA", "B"], [10.0, -20.0],
+                          [45.0, -30.0])
+    c1 = np.array([[1.0, 2.0], [3.0, 4.0]], np.float32)
+    c2 = c1 * 10
+    append_receptor(path, 3600, c1)
+    append_receptor(path, 7200, c2)
+    names, lons, lats, steps = read_receptor(path, nspec=2)
+    assert names == ["ALPHA", "B"]
+    np.testing.assert_allclose(lons, [10.0, -20.0])
+    np.testing.assert_allclose(lats, [45.0, -30.0])
+    assert steps[0][0] == 3600 and steps[1][0] == 7200
+    np.testing.assert_allclose(steps[0][1], c1)
+    np.testing.assert_allclose(steps[1][1], c2)

@@ -61,11 +61,35 @@ def test_mass_in_output_reasonable(sim_result):
 
 
 def test_netcdf_readable(sim_result):
+    """netCDF-4 file: reference variable layout (netcdf_output_mod.f90),
+    unlimited-time appends, dimension scales attached, release block."""
     sim, outdir = sim_result
-    from scipy.io import netcdf_file
+    from flexpart_tpu.io.netcdf4 import open_nc4
     nc = sorted(Path(outdir).glob("grid_conc_*.nc"))[0]
-    f = netcdf_file(str(nc), "r")
-    v = f.variables["spec001_mr"]
-    assert v.shape[0] == 5
-    assert np.isfinite(v[:]).all()
-    f.close()
+    with open_nc4(str(nc)) as f:
+        v = f["spec001_mr"]
+        # C dim order (nageclass, pointspec, time, height, lat, lon)
+        assert v.shape[2] == 5 and v.shape[3] == 3
+        assert np.isfinite(v[...]).all()
+        assert v.compression == "gzip"
+        # dimension scales attached in order
+        assert [d.label or d[0].name.strip("/") for d in v.dims] \
+            or True
+        names = [v.dims[i][0].name for i in range(6)]
+        assert names == ["/nageclass", "/pointspec", "/time", "/height",
+                         "/latitude", "/longitude"]
+        assert f["time"].shape == (5,)
+        assert list(f["time"][:]) == [5400 + 3600 * k for k in range(5)]
+        # release block (RELCOM..RELXMASS, netcdf_output_mod.f90:397-457)
+        assert f["RELLNG1"][0] == np.float32(0.0)
+        assert f["RELZZ2"][0] == np.float32(500.0)
+        assert f["RELPART"][0] == 2000
+        assert f["RELXMASS"].shape == (1, 1)
+        assert bytes(f["RELCOM"][0, :7].tobytes()) == b"RELEASE"
+        assert f["LAGE"][0] == 999999999
+        assert f.attrs["Conventions"] == "CF-1.6"
+        assert f.attrs["loutstep"] == 3600
+        assert f["spec001_mr"].attrs["units"] == "ng m-3"
+        # netCDF-4 reserved markers (libnetcdf compatibility)
+        assert "_NCProperties" in f.attrs
+        assert f["time"].attrs["_Netcdf4Dimid"] == 0
