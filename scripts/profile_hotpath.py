@@ -1,0 +1,197 @@
+"""Break down where the advance+conccalc step time goes on the real chip.
+
+Times each hot-path component in isolation at bench-like sizes so the
+optimization work targets the real bottleneck (VERDICT round-1 weak #1).
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(f, *args, reps=5, warmup=2):
+    for _ in range(warmup):
+        r = f(*args)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = f(*args)
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    from flexpart_tpu.core import StepConfig, StepParams, advance_chunked
+    from flexpart_tpu.core import rng
+    from flexpart_tpu.core.state import empty_particles
+    from flexpart_tpu.core.interp import (build_step_tables, horiz_weights,
+                                          vert_weights, interp_wind_blended,
+                                          sample_2d_packed,
+                                          interp_wind_short_blended)
+    from flexpart_tpu.met import (calcpar, compute_heights, make_grid,
+                                  process_eta, uniform_wind_met)
+
+    print("devices:", jax.devices())
+    grid = make_grid(nx=361, ny=181, nlev=30, dx=1.0, dy=1.0,
+                     xlon0=-180.0, ylat0=-90.0, xglobal=True)
+    met = uniform_wind_met(grid, u=10.0, v=1.0)
+    eta = met.fetch(0.0)
+    height = jnp.asarray(compute_heights(grid, eta))
+    z0 = process_eta(grid, eta, height)
+    z0 = calcpar(grid, eta, z0)
+
+    B = 2 ** 19          # one advance chunk
+    key = jax.random.PRNGKey(0)
+    kx, ky, kz = jax.random.split(key, 3)
+    x = jax.random.uniform(kx, (B,), minval=30.0, maxval=330.0)
+    y = jax.random.uniform(ky, (B,), minval=30.0, maxval=150.0)
+    z = jax.random.uniform(kz, (B,), minval=10.0, maxval=8000.0)
+
+    tables = build_step_tables(z0, z0, jnp.float32(0.5), jnp.float32(0.5),
+                               jnp.float32(0.4), jnp.float32(0.6))
+    jax.block_until_ready(tables)
+
+    # --- full advance chunk ---
+    cfg = StepConfig(nx=grid.nx, ny=grid.ny, nz=grid.nlev, xglobal=True,
+                     ldirect=1, turbswitch=False, ifine=1, method=0)
+    prm = StepParams.make(dx=grid.dx, dy=grid.dy, ylat0=grid.ylat0,
+                          dxconst=grid.dxconst, dyconst=grid.dyconst,
+                          lsynctime=900, fine=1.0)
+    p = empty_particles(B)
+    p = p._replace(x_hi=x, y_hi=y, z=z, active=jnp.ones(B, bool),
+                   itra=jnp.zeros(B, jnp.int32), mass=jnp.full((B, 1), 1.0))
+
+    def adv(p, k):
+        return advance_chunked(p, z0, z0, jnp.int32(0), jnp.int32(0),
+                               jnp.int32(86400), k, cfg, prm, 1)
+    t = timeit(adv, p, key)
+    print(f"advance 1 chunk ({B}): {t*1e3:8.2f} ms -> "
+          f"{B/t/1e6:7.2f} M psteps/s")
+
+    # --- gathers only ---
+    @jax.jit
+    def gathers(x, y, z):
+        hw = horiz_weights(x, y, grid.nx, grid.ny, True)
+        indz, dz1 = vert_weights(z, height)
+        s2 = sample_2d_packed(tables.pack2, hw, x, y)
+        w = interp_wind_blended(tables.f3dt, hw, indz, dz1)
+        c = interp_wind_short_blended(tables.f3de, hw, indz, dz1)
+        return s2, w, c
+    t = timeit(gathers, x, y, z)
+    print(f"gathers (2d+wind+corr):   {t*1e3:8.2f} ms -> "
+          f"{B/t/1e6:7.2f} M psteps/s")
+
+    @jax.jit
+    def gather_wind(x, y, z):
+        hw = horiz_weights(x, y, grid.nx, grid.ny, True)
+        indz, dz1 = vert_weights(z, height)
+        return interp_wind_blended(tables.f3dt, hw, indz, dz1)
+    t = timeit(gather_wind, x, y, z)
+    print(f"gather wind only:         {t*1e3:8.2f} ms")
+
+    @jax.jit
+    def gather_2d(x, y):
+        hw = horiz_weights(x, y, grid.nx, grid.ny, True)
+        return sample_2d_packed(tables.pack2, hw, x, y)
+    t = timeit(gather_2d, x, y)
+    print(f"gather 2d only:           {t*1e3:8.2f} ms")
+
+    @jax.jit
+    def gather_corr(x, y, z):
+        hw = horiz_weights(x, y, grid.nx, grid.ny, True)
+        indz, dz1 = vert_weights(z, height)
+        return interp_wind_short_blended(tables.f3de, hw, indz, dz1)
+    t = timeit(gather_corr, x, y, z)
+    print(f"gather corrector only:    {t*1e3:8.2f} ms")
+
+    # --- rng only (the draws one fixed step makes) ---
+    @jax.jit
+    def draws(k):
+        a = rng.normals(k, (6, B), tag=6)
+        b = rng.normals(k, (2, B), tag=1)
+        c = rng.normals(k, (1, B), tag=2)
+        d = rng.normals(k, (3, B), tag=3)
+        e = rng.normals(k, (3, B), tag=4)
+        return a.sum() + b.sum() + c.sum() + d.sum() + e.sum()
+    t = timeit(draws, key)
+    print(f"rng 15 normals:           {t*1e3:8.2f} ms")
+
+    # --- alternative layout: row-take table (R, 128) ---
+    nzp, ny, nx = 31, grid.ny, grid.nx
+    R = ny * nx * nzp
+    tbl = jax.random.normal(jax.random.PRNGKey(3), (R, 128), jnp.float32)
+    hw = jax.jit(lambda x, y: horiz_weights(x, y, grid.nx, grid.ny, True))(x, y)
+    indz, _ = jax.jit(lambda z: vert_weights(z, height))(z)
+    lin4 = (hw.idx4 * nzp + indz[:, None])      # (N,4) row ids
+    lin4 = jax.block_until_ready(lin4)
+
+    @jax.jit
+    def row_take(lin4):
+        rows = tbl[lin4]                        # (N,4,128)
+        return jnp.sum(rows[..., :21] * 1.0, axis=1)
+    t = timeit(row_take, lin4)
+    print(f"row-take (N,4) x 128 f32: {t*1e3:8.2f} ms")
+
+    tblb = tbl.astype(jnp.bfloat16)
+    @jax.jit
+    def row_take_bf16(lin4):
+        rows = tblb[lin4]
+        return jnp.sum(rows[..., :21].astype(jnp.float32), axis=1)
+    t = timeit(row_take_bf16, lin4)
+    print(f"row-take (N,4) x 128 bf16:{t*1e3:8.2f} ms")
+
+    # row-take with lanes-first output
+    @jax.jit
+    def row_take_ln(lin4):
+        rows = tbl[lin4.T]                      # (4,N,128)
+        return jnp.sum(rows[..., :21], axis=0)
+    t = timeit(row_take_ln, lin4)
+    print(f"row-take (4,N) x 128 f32: {t*1e3:8.2f} ms")
+
+    # smaller rows: (R, 32)
+    tbl32 = jax.random.normal(jax.random.PRNGKey(4), (R, 32), jnp.float32)
+    @jax.jit
+    def row_take32(lin4):
+        rows = tbl32[lin4]
+        return jnp.sum(rows, axis=1)
+    t = timeit(row_take32, lin4)
+    print(f"row-take (N,4) x 32 f32:  {t*1e3:8.2f} ms")
+
+    # current-style minor-dim gather for comparison at same volume
+    flat = tables.f3dt.reshape(5, -1)
+    lin = jnp.stack([hw.idx4.T + l * ny * nx for l in range(2)], 0)
+    @jax.jit
+    def minor_gather(lin):
+        return flat[:, lin].sum(axis=(1, 2))
+    t = timeit(minor_gather, lin)
+    print(f"minor-gather (5,2,4,N):   {t*1e3:8.2f} ms")
+
+    # conccalc at bench config
+    from flexpart_tpu.config import OutGrid
+    from flexpart_tpu.grid.conccalc import ConcConfig, make_conccalc
+    from flexpart_tpu.grid.outgrid import OutputGridGeometry, zero_accumulators
+    og = OutGrid(outlon0=-180.0, outlat0=-90.0, numxgrid=720,
+                 numygrid=360, dxout=0.5, dyout=0.5,
+                 outheights=(100.0, 1000.0, 50000.0))
+    geo = OutputGridGeometry(og, grid)
+    ccfg = ConcConfig(nxg=geo.nxg, nyg=geo.nyg, nzg=geo.nzg,
+                      npointspec=1, nclassunc=1, nage=1,
+                      dxout=og.dxout, dyout=og.dyout,
+                      xoutshift=geo.xoutshift, youtshift=geo.youtshift,
+                      dx_met=grid.dx, dy_met=grid.dy, ind_samp=0)
+    conccalc = make_conccalc(og.outheights)
+    acc = zero_accumulators(geo, 1, 1, 1, 1)
+    lage = jnp.asarray(np.asarray([999999999], np.int32))
+    pb = p._replace(itra=jnp.full((B,), 900, jnp.int32))
+
+    def cc(acc):
+        return conccalc(acc, pb, z0, jnp.int32(900), lage,
+                        jnp.float32(1.0), ccfg)
+    t = timeit(cc, acc)
+    print(f"conccalc scatter:         {t*1e3:8.2f} ms -> "
+          f"{B/t/1e6:7.2f} M psteps/s")
+
+
+if __name__ == "__main__":
+    main()
