@@ -48,6 +48,7 @@ class Command:
     linversionout: int = 0
     surf_only: int = 0
     cblflag: int = 0
+    lnetcdfout: int = 0         # netCDF grid output (readcommand.f90:95)
     ohfields_path: str = "../../flexin/"
     ipoutfac: int = 1
 
@@ -112,8 +113,10 @@ class Command:
         return 1 if self.method == 1 else self.lsynctime
 
     @property
-    def lnetcdfout(self) -> bool:
-        return self.iout >= 8
+    def use_netcdf(self) -> bool:
+        """netCDF grid output: the LNETCDFOUT namelist key or the iout>=8
+        convention (readcommand.f90:95,388-396)."""
+        return self.lnetcdfout == 1 or self.iout >= 8
 
     @property
     def iout_eff(self) -> int:

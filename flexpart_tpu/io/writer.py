@@ -43,21 +43,62 @@ class OutputWriter:
     #    "prefix": "grid_conc_", "wetdep": bool, "drydep": bool}
     nc_meta: dict | None = None
 
+    surf_only: bool = False      # write only the lowest output layer
+    #                              (concoutput_surf.f90 / SURF_ONLY=1)
+
+    #: dry-air molar weight [g/mol] for mixing-ratio conversion
+    #: (concoutput.f90:84 `weightair=28.97`)
+    WEIGHTAIR = 28.97
+
     def __post_init__(self):
         self.outdir = Path(self.outdir)
         self.outdir.mkdir(parents=True, exist_ok=True)
+        # the reference APPENDS to an existing `dates` index (a warm
+        # start into the same output dir keeps the previous run's
+        # entries, concoutput.f90:102-125)
         self._dates_path = self.outdir / "dates"
-        self._dates_path.write_text("")
+        if not self._dates_path.exists():
+            self._dates_path.write_text("")
         self._nc = None
         self._nt = 0
 
+    def _zslice(self, arr):
+        """surf_only=1 keeps only the lowest output layer of a
+        (..., nz, ny, nx) field (concoutput_surf.f90)."""
+        if arr is not None and self.surf_only:
+            return arr[..., :1, :, :]
+        return arr
+
+    def pptv_factor(self, rho_out: np.ndarray | None, nspec: int):
+        """Per-species mass-concentration -> pptv factor
+        weightair/weightmolar(ks)/densityoutgrid (concoutput.f90:583,
+        netcdf_output_mod.f90 mixing-ratio branch): (nspec, nz, ny, nx),
+        or None when no density field / molar weights are available."""
+        if rho_out is None:
+            return None
+        sp = self._meta("species", None)
+        if not sp:
+            return None
+        wm = np.asarray([s.get("weightmolar", 0.0) for s in sp], np.float32)
+        if not (wm > 0).any():
+            return None
+        wfac = np.where(wm > 0, self.WEIGHTAIR / np.maximum(wm, 1e-30), 1.0)
+        rho = np.maximum(np.asarray(rho_out, np.float32), 1e-30)
+        return wfac[:, None, None, None] / rho[None]
+
     def write(self, when: datetime, conc: np.ndarray, unc: np.ndarray,
-              wet: np.ndarray | None = None, dry: np.ndarray | None = None):
+              wet: np.ndarray | None = None, dry: np.ndarray | None = None,
+              rho_out: np.ndarray | None = None):
         """conc/unc: (nspec, npoint, nage, nz, ny, nx) mean field and
-        class-std; wet/dry: (nspec, npoint, nage, ny, nx)."""
+        class-std; wet/dry: (nspec, npoint, nage, ny, nx); rho_out:
+        (nz, ny, nx) air density at the output-layer half-heights
+        (concoutput.f90:156-196) for the pptv conversion."""
         stamp = datestamp(when)
         with self._dates_path.open("a") as f:
             f.write(stamp + "\n")
+        conc = self._zslice(conc)
+        unc = self._zslice(unc)
+        pfac = self._zslice(self.pptv_factor(rho_out, conc.shape[0]))
         if self.write_npz:
             np.savez_compressed(
                 self.outdir / f"grid_conc_{stamp}.npz",
@@ -68,7 +109,7 @@ class OutputWriter:
                 dxout=self.dxout, dyout=self.dyout,
                 outheights=np.asarray(self.outheights))
         if self.write_netcdf:
-            self._append_netcdf(when, conc, wet, dry)
+            self._append_netcdf(when, conc, wet, dry, pfac)
 
     # --- netCDF-4 -----------------------------------------------------
     def _meta(self, key, default=None):
@@ -121,7 +162,7 @@ class OutputWriter:
             "units": "meters", "positive": "up",
             "standard_name": "height",
             "long_name": "height above ground"},
-            data=np.asarray(self.outheights, np.float32))
+            data=np.asarray(self.outheights[:nz], np.float32))
 
         if rel:
             names = np.zeros((numpoint, 45), "S1")
@@ -209,7 +250,7 @@ class OutputWriter:
                            chunks=(1, 1, 1, ny, nx), deflate=4)
         return nc
 
-    def _append_netcdf(self, when, conc, wet, dry):
+    def _append_netcdf(self, when, conc, wet, dry, pfac=None):
         if self._nc is None:
             self._nc = self._create_nc(conc, wet, dry)
         nc = self._nc
@@ -224,7 +265,13 @@ class OutputWriter:
             if self.iout in (1, 3, 5):
                 nc.append(f"spec{ks+1:03d}_mr", slab, axis=2, index=it)
             if self.iout in (2, 3):
-                nc.append(f"spec{ks+1:03d}_pptv", slab, axis=2, index=it)
+                # volume mixing ratio: multiply the mass concentration
+                # by weightair/weightmolar(ks)/densityoutgrid
+                # (netcdf_output_mod.f90 mixing-ratio branch,
+                # concoutput.f90:583)
+                pslab = slab * pfac[ks][None, None] \
+                    if pfac is not None else slab
+                nc.append(f"spec{ks+1:03d}_pptv", pslab, axis=2, index=it)
             if wet is not None:
                 nc.append(f"WD_spec{ks+1:03d}",
                           wet[ks].transpose(1, 0, 2, 3).astype(np.float32),

@@ -128,7 +128,11 @@ def build_simulation(pathnames: str, met: str = "auto",
         options_dir=str(opts) if (opts / "IGBP_int1.dat").exists() else None,
         receptors=receptors, outgrid_nest=outgrid_nest,
         met_nests=met_nests, oh_field=oh_field,
-        write_fortran=write_fortran,
+        # LNETCDFOUT / iout>=8 drives the netCDF writer; without it the
+        # reference writes the unformatted sparse records instead
+        # (readcommand.f90:95,388-396; timemanager.f90:379-435)
+        write_netcdf=cmd.use_netcdf,
+        write_fortran=write_fortran or not cmd.use_netcdf,
         distributed=distributed, n_devices=n_devices,
         profile=profile, trace_dir=trace_dir)
     return sim

@@ -200,7 +200,8 @@ class Simulation:
                 species_names=tuple(s.name for s in self.releases.species),
                 start=cmd.bdate, iout=cmd.iout_eff,
                 write_netcdf=self.write_netcdf, write_npz=self.write_npz,
-                nc_meta=self._nc_meta())
+                nc_meta=self._nc_meta(),
+                surf_only=bool(cmd.surf_only))
         self.lage = jnp.asarray(
             np.asarray(self.ageclasses.lage or (999999999,), np.int32))
 
@@ -243,7 +244,8 @@ class Simulation:
             species_names=tuple(s.name for s in self.releases.species),
             start=cmd.bdate, iout=cmd.iout_eff,
             write_netcdf=self.write_netcdf, write_npz=self.write_npz,
-            nc_meta=self._nc_meta())
+            nc_meta=self._nc_meta(),
+            surf_only=bool(cmd.surf_only))
 
         if self.write_fortran:
             self._write_fortran_header()
@@ -547,6 +549,19 @@ class Simulation:
                 self._precip_started = True
             if self._height is None:
                 self._height = compute_heights(self.grid, eta)
+                # output-grid orography for the netCDF header (ORO var,
+                # netcdf_output_mod.f90:528-535 <- outgrid_init.f90:107-181)
+                try:
+                    from ..grid.outgrid import oro_outgrid
+                    oro = oro_outgrid(self.geo, np.asarray(eta.oro))
+                    if self.writer.nc_meta is not None:
+                        self.writer.nc_meta["oro"] = oro
+                    if self.use_nested_output \
+                            and self.writer_n.nc_meta is not None:
+                        self.writer_n.nc_meta["oro"] = oro_outgrid(
+                            self.geo_n, np.asarray(eta.oro))
+                except AttributeError:
+                    pass             # met backend without an oro field
             self._ensure_vdep_kernel(eta)
             pvh = calcpv(self.grid, eta)
             z = process_eta(self.grid, eta, self._height, pvh=pvh,
@@ -554,10 +569,14 @@ class Simulation:
             z = calcpar(self.grid, eta, z,
                         lsubgrid=bool(self.cmd.lsubgrid),
                         vdep_kernel=self._vdep_kernel)
-            # keep at most 3 buffered fields
+            # keep at most 3 buffered fields, evicting the one FARTHEST
+            # from the requested time — direction-aware, so backward
+            # (ldirect=-1) runs retire stale post-t=0 fields instead of
+            # the freshly prefetched earlier ones (the memind rotation
+            # of getfields.f90:93-113 works both ways)
             while len(self._buf) >= 3:
-                oldest = min(self._buf)
-                del self._buf[oldest]
+                farthest = max(self._buf, key=lambda k: abs(k - tsec))
+                del self._buf[farthest]
             # nested met fields, processed onto the SAME height grid
             # (verttransform_nests.f90 contract)
             zn = None
@@ -1079,19 +1098,32 @@ class Simulation:
             nageclass=self.ageclasses.nageclass,
             lage=self.ageclasses.lage or (999999999,))
 
-    def _write_fortran_grids(self, when, conc, wet, dry):
-        """grid_conc_* / grid_time_* sparse files (concoutput.f90)."""
+    def _write_fortran_grids(self, when, conc, wet, dry, rho_out=None):
+        """grid_conc_* / grid_time_* sparse files (concoutput.f90) plus
+        the grid_pptv_* mixing-ratio variant for iout=2/3
+        (concoutput.f90:460-600 unitoutgridppt)."""
         from pathlib import Path as _P
         from ..io.fortran_writer import write_grid_sparse
         from ..utils.dates import datestamp
         stem = "grid_conc_" if self.cmd.ldirect == 1 else "grid_time_"
+        pfac = self.writer.pptv_factor(rho_out, self.nspec)
         for ks in range(self.nspec):
-            path = _P(self.outdir) / (stem + datestamp(when)
-                                      + f"_{ks + 1:03d}")
-            write_grid_sparse(
-                path, int(self._fort_itime), conc[ks],
-                wet[ks] if wet is not None else None,
-                dry[ks] if dry is not None else None)
+            if self.cmd.iout_eff in (1, 3, 5):
+                path = _P(self.outdir) / (stem + datestamp(when)
+                                          + f"_{ks + 1:03d}")
+                write_grid_sparse(
+                    path, int(self._fort_itime), conc[ks],
+                    wet[ks] if wet is not None else None,
+                    dry[ks] if dry is not None else None)
+            if self.cmd.iout_eff in (2, 3):
+                path = _P(self.outdir) / ("grid_pptv_" + datestamp(when)
+                                          + f"_{ks + 1:03d}")
+                pk = conc[ks] * pfac[ks][None, None] \
+                    if pfac is not None else conc[ks]
+                write_grid_sparse(
+                    path, int(self._fort_itime), pk,
+                    wet[ks] if wet is not None else None,
+                    dry[ks] if dry is not None else None)
 
     def _write_fortran_inversion(self, when, conc):
         """Inversion time series (concoutput_inversion.f90:295-545): one
@@ -1216,13 +1248,25 @@ class Simulation:
             dry = dep2out(acc.drygridunc)
 
         when = add_seconds(self.cmd.bdate, itime)
-        self.writer.write(when, conc, unc, wet=wet, dry=dry)
+        # air density at output layers for the pptv conversion
+        # (concoutput.f90:156-196; newest time level = memind(2))
+        rho_out = None
+        if self.cmd.iout_eff in (2, 3) or self.receptor_set is not None:
+            from ..met.fields import F3_RHO
+            from ..grid.outgrid import density_outgrid
+            _, z1o, _, _ = self._fields_for(itime)
+            self._rho_met = np.asarray(jax.device_get(z1o.f3d[F3_RHO]))
+            rho_out = density_outgrid(self.geo, np.asarray(z1o.height),
+                                      self._rho_met)
+        self.writer.write(when, conc, unc, wet=wet, dry=dry,
+                          rho_out=rho_out)
         if self.write_fortran:
             self._fort_itime = itime
             if self.cmd.linversionout == 1:
                 self._write_fortran_inversion(when, conc)
             else:
-                self._write_fortran_grids(when, conc, wet, dry)
+                self._write_fortran_grids(when, conc, wet, dry,
+                                          rho_out=rho_out)
         if self.use_nested_output:
             if self._mesh is not None:
                 from ..parallel import reduce_acc_partials
@@ -1259,15 +1303,30 @@ class Simulation:
             from ..io.fortran_writer import (append_receptor,
                                              write_receptor_header)
             rpath = _P(self.outdir) / "receptor_conc"
+            rs = self.receptor_set
+            lons = (np.asarray(rs.x) * self.grid.dx + self.grid.xlon0)
+            lats = (np.asarray(rs.y) * self.grid.dy + self.grid.ylat0)
             if not rpath.exists():
-                rs = self.receptor_set
-                lons = (np.asarray(rs.x) * self.grid.dx
-                        + self.grid.xlon0)
-                lats = (np.asarray(rs.y) * self.grid.dy
-                        + self.grid.ylat0)
                 write_receptor_header(rpath, self.receptor_names,
                                       lons, lats)
             append_receptor(rpath, itime, rc)
+            # mixing-ratio receptor dump (receptor_pptv,
+            # openreceptors.f90:54-58 + concoutput.f90:662-667:
+            # x weightair/weightmolar(ks)/densityoutrecept)
+            if self.cmd.iout_eff in (2, 3):
+                from ..grid.outgrid import density_receptors
+                rhor = density_receptors(rs.x, rs.y, self._rho_met)
+                wm = np.asarray([s.weightmolar
+                                 for s in self.releases.species],
+                                np.float32)
+                wfac = np.where(wm > 0, 28.97 / np.maximum(wm, 1e-30),
+                                1.0)
+                rppt = rc * wfac[None, :] / np.maximum(rhor, 1e-30)[:, None]
+                ppath = _P(self.outdir) / "receptor_pptv"
+                if not ppath.exists():
+                    write_receptor_header(ppath, self.receptor_names,
+                                          lons, lats)
+                append_receptor(ppath, itime, rppt)
             self.creceptor = jnp.zeros_like(self.creceptor)
         if self.use_flux:
             # grid_flux output (fluxoutput.f90): per-face ng/m2/s in the

@@ -158,14 +158,18 @@ def main():
     t = timeit(row_take32, lin4)
     print(f"row-take (N,4) x 32 f32:  {t*1e3:8.2f} ms")
 
-    # current-style minor-dim gather for comparison at same volume
+    # current-style minor-dim gather for comparison.  NOTE: volumes
+    # differ — this moves 5x2x4 = 40 f32 (160 B) per particle while the
+    # row-take variants above move 4x128 f32 (2048 B, 512 B at width
+    # 32); compare per-INDEX cost (8 indices here vs 4 there), which is
+    # what dominates TPU gather time, not bytes moved.
     flat = tables.f3dt.reshape(5, -1)
     lin = jnp.stack([hw.idx4.T + l * ny * nx for l in range(2)], 0)
     @jax.jit
     def minor_gather(lin):
         return flat[:, lin].sum(axis=(1, 2))
     t = timeit(minor_gather, lin)
-    print(f"minor-gather (5,2,4,N):   {t*1e3:8.2f} ms")
+    print(f"minor-gather (5,2,4,N) 160B/p: {t*1e3:8.2f} ms")
 
     # conccalc at bench config
     from flexpart_tpu.config import OutGrid

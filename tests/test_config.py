@@ -23,7 +23,7 @@ def test_parse_command():
     assert cmd.ifine_eff == 1
     assert cmd.method == 0 and cmd.mintime == 900
     assert cmd.ideltas == 6 * 3600
-    assert cmd.iout_eff == 1 and not cmd.lnetcdfout
+    assert cmd.iout_eff == 1 and not cmd.use_netcdf
 
 
 def test_parse_releases():
