@@ -56,7 +56,11 @@ def make_conccalc(outheights):
     return _run
 
 
-def _conccalc_impl(acc, p, zf, itime, lage, weight, cfg: ConcConfig, outheight):
+def _conccalc_impl(acc, p, zf, itime, lage, weight, cfg: ConcConfig,
+                   outheight, origin=None):
+    """origin: (x0, y0) offset of this device's met tile in mother-grid
+    units (tiled mode) — only the ind_samp=-1 density gather is
+    tile-local; the output-grid mapping always uses global positions."""
     n = p.capacity
     live = p.active & (p.itra == itime)
     x, y, z = p.x, p.y, p.z
@@ -69,7 +73,9 @@ def _conccalc_impl(acc, p, zf, itime, lage, weight, cfg: ConcConfig, outheight):
     # (conccalc.f90:80-125; newer wind field only, no time interpolation)
     if cfg.ind_samp == -1:
         nx_m, ny_m = zf.f3d.shape[3], zf.f3d.shape[2]
-        hw = horiz_weights(x, y, nx_m, ny_m, False)
+        xm = x - origin[0] if origin is not None else x
+        ym = y - origin[1] if origin is not None else y
+        hw = horiz_weights(xm, ym, nx_m, ny_m, False)
         indz, dz1 = vert_weights(z, zf.height)
         rho_flat = zf.f3d[F3_RHO].reshape(-1)
         lin0 = indz[:, None] * (ny_m * nx_m) + hw.idx4

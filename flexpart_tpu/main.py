@@ -160,6 +160,11 @@ def main(argv=None) -> int:
     ap.add_argument("--dp", action="store_true",
                     help="distribute particles over all local devices "
                          "(the FLEXPART_MPI/timemanager_mpi analog)")
+    ap.add_argument("--tiles", action="store_true",
+                    help="domain-decompose the met fields over the "
+                         "device mesh (haloed lat/lon tiles + particle "
+                         "migration); lower per-chip field memory than "
+                         "--dp")
     ap.add_argument("--devices", type=int, default=None,
                     help="cap the --dp mesh size (default: all devices)")
     ap.add_argument("--profile", action="store_true",
@@ -180,7 +185,8 @@ def main(argv=None) -> int:
     sim = build_simulation(args.pathnames, met=args.met,
                            capacity=args.capacity, seed=args.seed,
                            write_fortran=args.write_fortran,
-                           distributed="dp" if args.dp else None,
+                           distributed=("tiles" if args.tiles
+                                        else "dp" if args.dp else None),
                            n_devices=args.devices,
                            profile=args.profile,
                            trace_dir=args.trace_dir)

@@ -83,8 +83,16 @@ class Simulation:
     #           conccalc + deposition scatters into per-device partial
     #           accumulators reduced only at output time
     #           (mpif_tm_reduce_grid, mpi_mod.f90:2395-2503)
+    #   "tiles" - met-field domain decomposition: each device owns one
+    #           haloed lat/lon tile of the field stack and the particles
+    #           inside it; advance/wetdepo/drydepo/conccalc run
+    #           tile-locally under shard_map with ppermute migration
+    #           between steps (parallel/tiles.py)
     distributed: str | None = None
     n_devices: int | None = None     # cap the mesh size (default: all)
+    turboff: bool = False            # disable all stochastic terms (the
+    #                                  reference's TURB_OPTION=0 debug
+    #                                  switch); deterministic paths only
     profile: bool = False            # named-section device timing table
     #                                  (mpif_mtime analog; utils/profile)
     trace_dir: str | None = None     # capture a jax.profiler trace here
@@ -134,6 +142,7 @@ class Simulation:
             nest_ny=self.nest_grid.ny if self.nest_grid else 0,
             nspec=self.nspec,
             settling=lsettling and any_settle,
+            turboff=self.turboff,
         )
         self.step_prm = StepParams.make(
             dx=self.grid.dx, dy=self.grid.dy, ylat0=self.grid.ylat0,
@@ -352,7 +361,88 @@ class Simulation:
 
         # ----- distributed mode (timemanager_mpi.f90 analog) -----
         self._mesh = None
-        if self.distributed == "dp":
+        self._tiles = None
+        if self.distributed == "tiles":
+            # domain-decomposed met fields + tile-owned particles
+            # (SURVEY §2.8 "met-field domain decomposition"; the full
+            # timemanager_mpi.f90:211-858 loop on tiles)
+            from ..parallel.tiles import (TiledEngine, choose_tile_mesh,
+                                          make_tiled_conccalc,
+                                          make_tiled_decay_drydep,
+                                          make_tiled_depo_scatter,
+                                          make_tiled_wetscav, tile_mesh,
+                                          zero_tile_acc_partials)
+            unsupported = []
+            if self.use_convection:
+                unsupported.append("LCONVECTION=1")
+            if getattr(cmd, "mdomainfill", 0) >= 1:
+                unsupported.append("MDOMAINFILL")
+            if self.met_nests:
+                unsupported.append("nested met grids")
+            if self.any_ohreact:
+                unsupported.append("OH chemistry")
+            if self.use_flux:
+                unsupported.append("IFLUX=1")
+            if self.use_initcond:
+                unsupported.append("LINIT_COND")
+            if self.receptor_set is not None:
+                unsupported.append("RECEPTORS")
+            if self.bkdep:
+                unsupported.append("backward deposition modes")
+            if cmd.itsplit < abs(cmd.ideltas):
+                unsupported.append("ITSPLIT particle splitting")
+            if unsupported:
+                raise ValueError(
+                    "distributed='tiles' does not support: "
+                    + ", ".join(unsupported)
+                    + " (use distributed='dp' for these)")
+            ndev = self.n_devices or len(jax.devices())
+            nty, ntx = choose_tile_mesh(ndev, self.grid.ny,
+                                        self.grid.nxfield)
+            from ..parallel.domain import halo_for
+            halo = max(2, min(
+                halo_for(100.0, cmd.lsynctime, self.grid.dx),
+                self.grid.nxfield // ntx - 1,
+                self.grid.ny // nty - 1))
+            mesh = tile_mesh(nty, ntx)
+            eng = TiledEngine(mesh, self.step_cfg, self.grid,
+                              nty, ntx, halo)
+            self._tiles = eng
+            self._mesh = mesh
+            if self.particles is not None:
+                self.particles = eng.shard_initial(self.particles)
+            self.acc = zero_tile_acc_partials(
+                mesh, self.geo, self.nspec, self.conc_cfg.npointspec,
+                self.nclassunc, nage)
+            cc_t = make_tiled_conccalc(
+                mesh, self.outgrid.outheights, self.conc_cfg,
+                eng.tx, eng.ty, halo, has_vdep=self.any_drydep)
+            self.conccalc = (
+                lambda acc, p, zf, it, lage, w, cfg, _f=cc_t:
+                _f(acc, p, zf, it, lage, w))
+            if self.use_nested_output:
+                cc_tn = make_tiled_conccalc(
+                    mesh, self.outgrid_nest.outheights, self.conc_cfg_n,
+                    eng.tx, eng.ty, halo, has_vdep=self.any_drydep)
+                self.conccalc_n = (
+                    lambda acc, p, zf, it, lage, w, cfg, _f=cc_tn:
+                    _f(acc, p, zf, it, lage, w))
+                self.acc_n = zero_tile_acc_partials(
+                    mesh, self.geo_n, self.nspec,
+                    self.conc_cfg.npointspec, self.nclassunc, nage)
+            if self.any_wetdep:
+                self._tiled_wetscav = make_tiled_wetscav(
+                    mesh, self.wet_species, self.use_clwc,
+                    eng.tx, eng.ty, halo, has_vdep=self.any_drydep)
+            if self.any_drydep or self.any_decay:
+                self._tiled_drydep = make_tiled_decay_drydep(
+                    mesh, self.mass_species, self.any_drydep,
+                    eng.tx, eng.ty, halo, z_has_vdep=self.any_drydep)
+            self.depo_scatter = make_tiled_depo_scatter(
+                mesh, self.depo_scatter)
+            log.info("distributed tiles: %dx%d mesh, %dx%d-cell tiles, "
+                     "halo %d", nty, ntx, eng.ty, eng.tx, halo)
+        elif self.distributed == "dp":
             from ..parallel import (make_sharded_conccalc,
                                     make_sharded_depo_scatter,
                                     pad_particles, particle_mesh,
@@ -588,7 +678,12 @@ class Simulation:
                                  pvh=pvn, use_clwc=self.use_clwc)
                 zn = calcpar(self.nest_grid, etan, zn,
                              lsubgrid=bool(self.cmd.lsubgrid))
-            if self._mesh is not None:
+            zt = None
+            if self._tiles is not None:
+                # host-side tiling + one placement per wind read (the
+                # field-distribution analog of mpif_gf_send_vars)
+                zt = self._tiles.decompose(z)
+            elif self._mesh is not None:
                 # replicate once per wind field so every jitted step sees
                 # mesh-committed inputs (mpif_gf_send_vars analog — one
                 # broadcast per field read, not per step)
@@ -598,7 +693,7 @@ class Simulation:
                     zn = replicate(zn, self._mesh)
             # convection needs the raw eta-level profiles too
             # (convmix.f90:168-189)
-            self._buf[tsec] = (z, eta, zn)
+            self._buf[tsec] = (z, eta, zn, zt)
             self.timers.add("getfields", _time.perf_counter() - t0)
         return self._buf[tsec][0]
 
@@ -609,6 +704,11 @@ class Simulation:
     def _get_nest(self, tsec: int):
         self._get_field(tsec)
         return self._buf[tsec][2]
+
+    def _get_tiles(self, tsec: int):
+        """Tiled field stack for this wind time (tiles mode only)."""
+        self._get_field(tsec)
+        return self._buf[tsec][3]
 
     def _fields_for(self, itime: int):
         wi = self.wind_interval
@@ -756,12 +856,18 @@ class Simulation:
                 with self.timers.section("wetdepo",
                                          sync=lambda: self.particles):
                     interp_t = itime - lsync // 2
-                    zw = (z0 if abs(mt0 - interp_t) < abs(mt1 - interp_t)
-                          else z1)
-                    lam, grfrac = wetscav_all(
-                        self.particles, zw, jnp.int32(itime),
-                        jnp.int32(cmd.lsynctime), self.wet_species,
-                        self.use_clwc)
+                    use0 = abs(mt0 - interp_t) < abs(mt1 - interp_t)
+                    if self._tiles is not None:
+                        zwt = self._get_tiles(mt0 if use0 else mt1)
+                        lam, grfrac = self._tiled_wetscav(
+                            self.particles, zwt, jnp.int32(itime),
+                            jnp.int32(cmd.lsynctime))
+                    else:
+                        zw = z0 if use0 else z1
+                        lam, grfrac = wetscav_all(
+                            self.particles, zw, jnp.int32(itime),
+                            jnp.int32(cmd.lsynctime), self.wet_species,
+                            self.use_clwc)
                     self.particles, wdep = apply_wetdepo(
                         self.particles, lam, grfrac,
                         jnp.int32(cmd.lsynctime),
@@ -887,14 +993,16 @@ class Simulation:
             if (ld * itime >= ld * loutstart and ld * itime <= ld * loutend
                     and (itime - loutstart) % loutsample == 0):
                 weight = 0.5 if itime in (loutstart, loutend) else 1.0
+                z1s = (self._get_tiles(mt1) if self._tiles is not None
+                       else z1)
                 with self.timers.section("conccalc",
                                          sync=lambda: self.acc):
                     self.acc = self.conccalc(
-                        self.acc, self.particles, z1, jnp.int32(itime),
+                        self.acc, self.particles, z1s, jnp.int32(itime),
                         self.lage, jnp.float32(weight), self.conc_cfg)
                     if self.use_nested_output:
                         self.acc_n = self.conccalc_n(
-                            self.acc_n, self.particles, z1,
+                            self.acc_n, self.particles, z1s,
                             jnp.int32(itime), self.lage,
                             jnp.float32(weight), self.conc_cfg_n)
                     if self.receptor_set is not None:
@@ -936,8 +1044,10 @@ class Simulation:
                 loutstart = loutnext - loutaver // 2
                 loutend = loutnext + loutaver // 2
                 if itime == loutstart:
+                    z1s = (self._get_tiles(mt1) if self._tiles is not None
+                           else z1)
                     self.acc = self.conccalc(
-                        self.acc, self.particles, z1, jnp.int32(itime),
+                        self.acc, self.particles, z1s, jnp.int32(itime),
                         self.lage, jnp.float32(0.5), self.conc_cfg)
 
             if itime == ideltas:
@@ -951,14 +1061,27 @@ class Simulation:
                 xold, yold, zold = (self.particles.x, self.particles.y,
                                     self.particles.z)
             key = jax.random.fold_in(self._key, istep)
-            z0n = self._get_nest(mt0) if self.nest_grid else None
-            z1n = self._get_nest(mt1) if self.nest_grid else None
-            self.particles, diag = advance_all(
-                self.particles, z0, z1, jnp.int32(itime),
-                jnp.int32(mt0), jnp.int32(mt1), key, self.step_cfg,
-                self.step_prm, z0n, z1n)
-            n_act = int(diag.n_active)
-            self.nan_count += int(getattr(diag, "nan_count", 0))
+            if self._tiles is not None:
+                zt0, zt1 = self._get_tiles(mt0), self._get_tiles(mt1)
+                self.particles, n_act_d, n_unplaced = self._tiles.advance(
+                    self.particles, zt0, zt1, jnp.int32(itime),
+                    jnp.int32(mt0), jnp.int32(mt1), key, self.step_prm)
+                n_act = int(n_act_d)
+                if int(n_unplaced):
+                    # capacity escape valve: overflow particles stay in
+                    # the halo and retry next step (domain.migrate_local)
+                    log.warning("tile migration deferred %d particles "
+                                "(hot tile near capacity %d)",
+                                int(n_unplaced), self._tiles.local_cap)
+            else:
+                z0n = self._get_nest(mt0) if self.nest_grid else None
+                z1n = self._get_nest(mt1) if self.nest_grid else None
+                self.particles, diag = advance_all(
+                    self.particles, z0, z1, jnp.int32(itime),
+                    jnp.int32(mt0), jnp.int32(mt1), key, self.step_cfg,
+                    self.step_prm, z0n, z1n)
+                n_act = int(diag.n_active)
+                self.nan_count += int(getattr(diag, "nan_count", 0))
             particle_steps += n_act
             self.timers.add("advance", _time.perf_counter() - t0)
 
@@ -999,11 +1122,16 @@ class Simulation:
             if self.any_drydep or self.any_decay:
                 with self.timers.section("drydepo",
                                          sync=lambda: self.particles):
-                    vdep = z1.vdep if self.any_drydep else None
-                    self.particles, ddep = apply_decay_drydep(
-                        self.particles, vdep, jnp.int32(cmd.lsynctime),
-                        jnp.int32(ldeltat), self.mass_species,
-                        has_vdep=self.any_drydep)
+                    if self._tiles is not None:
+                        self.particles, ddep = self._tiled_drydep(
+                            self.particles, self._get_tiles(mt1),
+                            jnp.int32(cmd.lsynctime), jnp.int32(ldeltat))
+                    else:
+                        vdep = z1.vdep if self.any_drydep else None
+                        self.particles, ddep = apply_decay_drydep(
+                            self.particles, vdep, jnp.int32(cmd.lsynctime),
+                            jnp.int32(ldeltat), self.mass_species,
+                            has_vdep=self.any_drydep)
                     if self.any_drydep and cmd.ldirect == 1:
                         self.acc = self.acc._replace(
                             drygridunc=self._scatter_depo(
