@@ -27,11 +27,12 @@ from ..met.fields import ZFields, F2_HMIX, F2_TROPO, F2_USTAR, F2_WSTAR, F2_OLI,
 from . import rng
 from .cbl import cbl_terms, reinit_wp
 from .hanna import hanna, hanna1
-from .interp import (HorizWeights, StepTables, blend_wind_stack,
-                     build_step_tables, horiz_weights, sample_2d_packed,
-                     vert_weights, interp_wind_blended, interp_wind_legacy,
-                     interp_wind_short, interp_wind_short_blended,
-                     interp_2d, gather_corners_2d_ln, hmix_max)
+from .interp import (HorizWeights, StepTablesPaired,
+                     build_step_tables_paired, gather_corners_3d,
+                     horiz_weights, sample_all_paired, vert_weights,
+                     interp_wind_legacy, interp_wind_short,
+                     interp_wind_short_paired, interp_2d,
+                     gather_corners_2d_ln, hmix_max)
 from .state import Particles, ds_add
 
 
@@ -185,6 +186,10 @@ class StepDiag(NamedTuple):
     n_active: jnp.ndarray
     n_exited: jnp.ndarray
     nan_count: jnp.ndarray
+    #: adaptive mode only: per-particle seconds spent below 2*href this
+    #: interval, accumulated per pass (advance.f90:582-599) — the
+    #: deposition-probability window apply_decay_drydep consumes
+    t_below: jnp.ndarray | None = None
 
 
 def _viscosity(t):
@@ -327,62 +332,257 @@ def _pbl_vertical(cfg: StepConfig, prm: StepParams, z, wp, icbt, h, ust, wst,
     return z, wp, icbt, turb, nan_mask
 
 
-def _pbl_adaptive(cfg: StepConfig, prm: StepParams, key, z, up, vp, wp,
-                  icbt, h, ust, wst, ol, rho, drhodz, dt_total):
-    """Adaptive per-particle time stepping (method=1;
-    advance.f90:282-609): a masked `lax.while_loop` where every particle
-    picks its own substep ldt = ctl-scaled Lagrangian-timescale limit
-    (advance.f90:504-510), iterating until every particle has covered
-    the whole interval (the reference's `if (dt.lt.abs(lsynctime)) goto
-    100` loop, advance.f90:605-609) — particles that finish idle while
-    stragglers keep substepping; ldt >= mintime bounds the trip count by
-    dt_total/mintime.  Horizontal wind stays frozen at the
-    interval-start interpolation (the reference interpolates profiles
-    once per interval too, advance.f90:295-332).
-    Returns (up, vp, z, wp, icbt, dawsave, dcwsave)."""
+def _ldt_formula(cfg: StepConfig, prm: StepParams, turb, wp, h):
+    """ldt = int(min(...)*ctl), clamped to mintime
+    (advance.f90:504-510)."""
+    if cfg.turbswitch:
+        lim = jnp.minimum(
+            jnp.minimum(turb.tlw,
+                        h / jnp.maximum(2.0 * jnp.abs(wp * turb.sigw),
+                                        1e-5)),
+            0.5 / jnp.maximum(jnp.abs(turb.dsigwdz), 1e-10))
+    else:
+        lim = jnp.minimum(turb.tlw,
+                          h / jnp.maximum(2.0 * jnp.abs(wp), 1e-5))
+    ldt = jnp.trunc(lim * prm.ctl)
+    return jnp.maximum(ldt, jnp.float32(cfg.mintime))
+
+
+def _adaptive_interval(cfg: StepConfig, prm: StepParams, key,
+                       leg: "LegacyRnd | None", z0: ZFields, z1: ZFields,
+                       tw0, tw1, tables, hw: HorizWeights, height,
+                       h, tropop, ust, wst, ol, z, up, vp, wp, icbt,
+                       idt_in, pbl0, settle_fn=None):
+    """Reference-faithful adaptive interval (method=1;
+    advance.f90:276-720): a masked `lax.while_loop` over PBL passes —
+    each pass re-interpolates u,v,w,rho,drhodz VERTICALLY at the
+    particle's current z (horizontal stencil frozen at interval start,
+    exactly like interpol_all + interpol_misslev), recomputes the Hanna
+    turbulence, advances the horizontal OU velocities and the ifine
+    vertical Langevin substeps, then picks the next per-particle ldt.
+    A particle whose z rises above h mid-interval leaves the loop and
+    completes the REST of the interval with the single free-troposphere
+    step (`goto 700`, advance.f90:556-560,648); particles starting
+    above the PBL take the FT step with the full interval.  The
+    entry ldt is the particle's stored idt (timemanager passes idt(j)
+    inout); the exit ldt is returned to store back.
+
+    In legacy mode every draw comes from the rannumb table through a
+    PER-PARTICLE nrand cursor mirroring the reference's serial index
+    arithmetic (wrap checks included); production mode uses counter
+    RNG keyed by the pass index.
+
+    Returns dict with z, up, vp, wp, icbt, idt, dxs, dys, daw, dcw,
+    u/v/w last-interpolated (for windalign + Petterssen), end-of-
+    interval mesoscale sigmas, mesoscale draws, t_below (PBL seconds
+    spent under 2*href for the deposition probability), nan count."""
     n = z.shape[0]
-    remaining0 = jnp.broadcast_to(jnp.asarray(dt_total, jnp.float32),
-                                  z.shape)
+    legacy = leg is not None
+    ny_nx = cfg.ny * cfg.nx
+    if legacy:
+        tab = leg.table
+        R = tab.shape[0] - 1
+
+    def vert_wind(zc):
+        """u,v,w,rho,drhodz at (frozen hw, current z)."""
+        indz, dz1 = vert_weights(zc, height)
+        if legacy:
+            c0 = gather_corners_3d(z0.f3d, (0, 1, 2, 3, 4), hw, indz)
+            c1 = gather_corners_3d(z1.f3d, (0, 1, 2, 3, 4), hw, indz)
+            lev = (jnp.einsum("flnc,nc->fln", c0, hw.p4) * tw0
+                   + jnp.einsum("flnc,nc->fln", c1, hw.p4) * tw1)
+            val = lev[:, 0] * (1.0 - dz1) + lev[:, 1] * dz1
+        else:
+            flat = tables.packA.reshape(15, -1)[:10]
+            lin = indz[None] * ny_nx + hw.idx4.T
+            g = flat[:, lin].astype(jnp.float32)
+            lev0 = jnp.sum(g[0:10:2] * hw.p4.T, axis=1)
+            lev1 = jnp.sum(g[1:10:2] * hw.p4.T, axis=1)
+            val = lev0 * (1.0 - dz1) + lev1 * dz1
+        return val[0], val[1], val[2], val[3], val[4]
+
+    def wrap1(nr, need):
+        return jnp.where(nr + need > R, 1, nr)
+
+    zero = jnp.zeros(n, jnp.float32)
 
     def body(carry):
-        k, remaining, z, wp, up, vp, icbt, daw, dcw = carry
-        kk = jax.random.fold_in(key, 7000 + k)
-        turb = hanna(z, h, ust, wst, ol) if cfg.turbswitch \
-            else hanna1(z, h, ust, wst, ol)
-        wp_raw = wp if (cfg.cblflag or not cfg.turbswitch) \
-            else wp * turb.sigw
-        ldt = jnp.minimum(
-            jnp.minimum(turb.tlw,
-                        h / jnp.maximum(2.0 * jnp.abs(wp_raw), 1e-5)),
-            0.5 / jnp.maximum(jnp.abs(turb.dsigwdz), 1e-10)) * prm.ctl
-        dt_i = jnp.clip(jnp.maximum(ldt, cfg.mintime), None, remaining)
-        act = remaining > 0.0
+        (k, remaining, ldt, zc, upc, vpc, wpc, icbtc, u_l, v_l, w_l,
+         daw, dcw, dxs, dys, t_below, nrand, nan_acc) = carry
+        # a particle that rose above h has LEFT the loop (its remaining
+        # time is finished by the FT step below), advance.f90:556-560
+        act = pbl0 & (remaining > 0.0) & (zc <= h)
+        dt_i = jnp.minimum(ldt, remaining)
         dt_i = jnp.where(act, dt_i, 0.0)
-        rnd_h = rng.normals(kk, (2, n), tag=1)
-        up2 = _ou_update(up, rnd_h[0], turb.sigu,
-                         dt_i / turb.tlu)
-        vp2 = _ou_update(vp, rnd_h[1], turb.sigv, dt_i / turb.tlv)
-        up = jnp.where(act, up2, up)
-        vp = jnp.where(act, vp2, vp)
-        daw = daw + up * dt_i
-        dcw = dcw + vp * dt_i
-        rnd_w = rng.normals(kk, (cfg.ifine, n), tag=2)
-        z2, wp2, icbt2, _, _nm = _pbl_vertical(cfg, prm, z, wp, icbt, h, ust,
-                                          wst, ol, rho, drhodz, rnd_w,
-                                          dt_i, key=kk)
-        z = jnp.where(act, z2, z)
-        wp = jnp.where(act, wp2, wp)
-        icbt = jnp.where(act, icbt2, icbt).astype(jnp.int8)
-        remaining = jnp.maximum(remaining - dt_i, 0.0)
-        return (k + 1, remaining, z, wp, up, vp, icbt, daw, dcw)
+        kk = jax.random.fold_in(key, 9000 + k)
 
-    carry = (jnp.int32(0), remaining0, z, wp,
-             jnp.asarray(up, jnp.float32), jnp.asarray(vp, jnp.float32),
-             icbt, jnp.zeros_like(z), jnp.zeros_like(z))
-    carry = jax.lax.while_loop(
-        lambda c: jnp.any(c[1] > 0.0), body, carry)
-    _, _, z, wp, up, vp, icbt, daw, dcw = carry
-    return up, vp, z, wp, icbt, daw, dcw
+        u, v, w, rhoa, drho = vert_wind(zc)
+        turb = hanna(zc, h, ust, wst, ol) if (cfg.turbswitch
+                                              or cfg.cblflag) \
+            else hanna1(zc, h, ust, wst, ol)
+
+        # horizontal OU (advance.f90:369-384): 2 draws
+        if legacy:
+            nr = wrap1(nrand, 1)
+            r_up = tab[nr]
+            r_vp = tab[nr + 1]
+            nrand2 = nr + 2
+        else:
+            rh = rng.normals(kk, (2, n), tag=1)
+            r_up, r_vp = rh[0], rh[1]
+            nrand2 = nrand
+        up2 = _ou_update(upc, r_up, turb.sigu, dt_i / turb.tlu)
+        vp2 = _ou_update(vpc, r_vp, turb.sigv, dt_i / turb.tlv)
+
+        # vertical ifine substeps (advance.f90:391-498)
+        if legacy:
+            nr = wrap1(nrand2, cfg.ifine)
+            rnd_w = jnp.stack([tab[nr + 1 + i] for i in range(cfg.ifine)],
+                              0)
+            nrand3 = nr + cfg.ifine + 1
+        else:
+            rnd_w = rng.normals(kk, (cfg.ifine, n), tag=2)
+            nrand3 = nrand2
+        z2, wp2, icbt2, turb_f, nm = _pbl_vertical(
+            cfg, prm, zc, wpc, icbtc, h, ust, wst, ol, rhoa, drho,
+            rnd_w, dt_i, key=kk)
+        nan_acc = nan_acc + jnp.sum((nm & act).astype(jnp.int32))
+
+        # next adaptive step from the POST-substep turbulence/velocity
+        ldt2 = _ldt_formula(cfg, prm, turb_f, wp2, h)
+
+        # optional settling at the current position (advance.f90:518-531)
+        w_eff = w if settle_fn is None else w + settle_fn(zc)
+
+        daw2 = daw + up2 * dt_i
+        dcw2 = dcw + vp2 * dt_i
+        dxs2 = dxs + u * dt_i
+        dys2 = dys + v * dt_i
+        z3 = z2 + w_eff * dt_i * jnp.float32(cfg.ldirect)
+        htop = height[-1] - jnp.float32(100.0 * cfg.nx / 3.0e5)
+        z3 = jnp.minimum(z3, htop)
+        # deposition probability window (advance.f90:582-599): time
+        # spent below 2*href, AFTER the vertical update, BEFORE the
+        # below-ground reflection
+        t_below2 = t_below + jnp.where(z3 < 2.0 * 15.0, dt_i, 0.0)
+        z3 = jnp.where(z3 < 0.0, jnp.minimum(h - 1e-9, -z3), z3)
+
+        remaining2 = jnp.maximum(remaining - dt_i, 0.0)
+
+        def sel(a, b):
+            return jnp.where(act, a, b)
+
+        return (k + 1, sel(remaining2, remaining), sel(ldt2, ldt),
+                sel(z3, zc), sel(up2, upc), sel(vp2, vpc),
+                sel(wp2, wpc),
+                jnp.where(act, icbt2, icbtc).astype(jnp.int8),
+                sel(u, u_l), sel(v, v_l), sel(w_eff, w_l),
+                sel(daw2, daw), sel(dcw2, dcw), sel(dxs2, dxs),
+                sel(dys2, dys), sel(t_below2, t_below),
+                jnp.where(act, nrand3, nrand), nan_acc)
+
+    def cond(carry):
+        (_, remaining, _, zc, *_rest) = carry
+        # stay in the loop while any PBL particle has time left AND is
+        # still inside the PBL (advance.f90:556-560: a particle that
+        # rose above h leaves the loop with its remaining time)
+        act = pbl0 & (remaining > 0.0) & (zc <= h)
+        return jnp.any(act)
+
+    remaining0 = jnp.where(pbl0, prm.lsynctime, 0.0) + zero
+    ldt0 = jnp.maximum(jnp.asarray(idt_in, jnp.float32),
+                       jnp.float32(cfg.mintime))
+    nrand0 = (leg.nrand.astype(jnp.int32) if legacy
+              else jnp.zeros(n, jnp.int32))
+    carry = (jnp.int32(0), remaining0, ldt0, z, jnp.asarray(up),
+             jnp.asarray(vp), jnp.asarray(wp), icbt,
+             zero, zero, zero, zero, zero, zero, zero, zero,
+             nrand0, jnp.int32(0))
+    carry = jax.lax.while_loop(cond, body, carry)
+    (_, remaining, ldt, zc, upc, vpc, wpc, icbtc, u_l, v_l, w_l,
+     daw, dcw, dxs, dys, t_below, nrand, nan_acc) = carry
+
+    # ---- free-troposphere completion (advance.f90:629-708, goto 700):
+    # particles that started above the PBL (full interval) or left it
+    # mid-interval (remaining time)
+    dt_ft = jnp.where(pbl0, remaining, prm.lsynctime)
+    ft = dt_ft > 0.0
+    u_f, v_f, w_f, _, _ = vert_wind(zc)
+    in_trop = zc < tropop
+    in_trans = (~in_trop) & (zc < tropop + 1000.0)
+    dt_s = jnp.maximum(dt_ft, 1e-6)
+    uxscale_t = jnp.sqrt(2.0 * D_TROP / dt_s)
+    uxscale_tr = jnp.sqrt(2.0 * D_TROP / dt_s
+                          * (1.0 - jnp.clip((zc - tropop) / 1000.0,
+                                            0.0, 1.0)))
+    wpscale_tr = jnp.sqrt(2.0 * D_STRAT / dt_s
+                          * jnp.clip((zc - tropop) / 1000.0, 0.0, 1.0))
+    wpscale_s = jnp.sqrt(2.0 * D_STRAT / dt_s)
+    if legacy:
+        t_b = wrap1(nrand, 1)
+        tr_b = wrap1(nrand, 2)
+        s_b = wrap1(nrand, 0)
+        rf0 = jnp.where(in_trans, tab[tr_b], tab[t_b])
+        rf1 = jnp.where(in_trans, tab[tr_b + 1], tab[t_b + 1])
+        rf2 = jnp.where(in_trans, tab[tr_b + 2], tab[s_b])
+        nrand_ft = jnp.where(in_trop, t_b + 2,
+                             jnp.where(in_trans, tr_b + 3, s_b + 1))
+        nrand = jnp.where(ft, nrand_ft, nrand)
+    else:
+        rft = rng.normals(key, (3, n), tag=3)
+        rf0, rf1, rf2 = rft[0], rft[1], rft[2]
+    ux = jnp.where(in_trop, rf0 * uxscale_t,
+                   jnp.where(in_trans, rf0 * uxscale_tr, 0.0))
+    vy = jnp.where(in_trop, rf1 * uxscale_t,
+                   jnp.where(in_trans, rf1 * uxscale_tr, 0.0))
+    wp_ft = jnp.where(in_trop, 0.0,
+                      jnp.where(in_trans,
+                                rf2 * wpscale_tr + D_STRAT / 1000.0,
+                                rf2 * wpscale_s))
+    if cfg.turboff:
+        ux = jnp.zeros_like(ux)
+        vy = jnp.zeros_like(vy)
+        wp_ft = jnp.zeros_like(wp_ft)
+    w_eff_f = w_f if settle_fn is None else w_f + settle_fn(zc)
+    dxs = jnp.where(ft, dxs + (u_f + ux) * dt_ft, dxs)
+    dys = jnp.where(ft, dys + (v_f + vy) * dt_ft, dys)
+    z_ft = zc + (w_eff_f + wp_ft) * dt_ft * jnp.float32(cfg.ldirect)
+    z_ft = jnp.where(z_ft < 0.0, jnp.minimum(h - 1e-9, -z_ft), z_ft)
+    zc = jnp.where(ft, z_ft, zc)
+    wpc = jnp.where(ft, wp_ft, wpc)
+    u_l = jnp.where(ft, u_f, u_l)
+    v_l = jnp.where(ft, v_f, v_l)
+    w_l = jnp.where(ft, w_eff_f, w_l)
+    # ldt bookkeeping: FT sets ldt to the step it took
+    # (advance.f90:648); store back for the next interval
+    ldt = jnp.where(ft, jnp.maximum(dt_ft, jnp.float32(cfg.mintime)),
+                    ldt)
+
+    # ---- end-of-interval mesoscale sigmas at the FINAL z
+    # (advance.f90:601-605 profile average; FT via interpol_wind's
+    # 16-sample form in legacy mode)
+    hw_f = hw
+    indz_f, dz1_f = vert_weights(zc, height)
+    if legacy:
+        wind_e, sig16 = interp_wind_legacy(z0, z1, hw_f, indz_f, dz1_f,
+                                           tw0, tw1)
+        usig_e = jnp.where(ft, sig16[0], wind_e.usig)
+        vsig_e = jnp.where(ft, sig16[1], wind_e.vsig)
+        wsig_e = jnp.where(ft, sig16[2], wind_e.wsig)
+        mb = wrap1(nrand, 2)
+        rnd_m = jnp.stack([tab[mb], tab[mb + 1], tab[mb + 2]], 0)
+    else:
+        _, _, _, _, _, wind_e = sample_all_paired(tables, hw_f, indz_f,
+                                                  dz1_f, zc * 0.0,
+                                                  zc * 0.0)
+        usig_e, vsig_e, wsig_e = wind_e.usig, wind_e.vsig, wind_e.wsig
+        rnd_m = rng.normals(key, (3, n), tag=4)
+
+    return dict(z=zc, up=upc, vp=vpc, wp=wpc, icbt=icbtc,
+                idt=ldt.astype(jnp.int32), dxs=dxs, dys=dys, daw=daw,
+                dcw=dcw, u=u_l, v=v_l, w=w_l, usig=usig_e, vsig=vsig_e,
+                wsig=wsig_e, rnd_m=rnd_m, t_below=t_below,
+                nan_count=nan_acc)
 
 
 SWITCHNORTH = 75.0       # polar-cap latitude thresholds (par_mod.f90:123)
@@ -451,15 +651,16 @@ def _polar_update(prm: StepParams, x, y, dxsave, dysave, ldirf, nxm):
 
 def _sample_met(zA: ZFields, zB: ZFields, tw0, tw1, x, y, z, height,
                 nx: int, ny: int, xglobal: bool, legacy: bool = False,
-                tables: StepTables | None = None):
+                tables: StepTablesPaired | None = None):
     """All met quantities the integrator needs at the particle, from one
     grid (mother or nest): the interpol_all/interpol_wind family.
 
-    Production path: everything comes from the per-step StepTables —
-    one packed 4-index gather for all 2-D quantities + one blended-stack
-    gather for the winds (the per-chunk gather-op count is the advance
-    bottleneck on v5e; splitting the 2-D sampling into hmix/tropo/
-    surface gathers costs ~4x more).
+    Production path: EVERYTHING comes from one 4-index gather of the
+    per-step level-paired table (StepTablesPaired) — v5e gather cost is
+    ~linear in the per-particle index count and flat in slice height,
+    so stacking both bracketing levels and the 2-D quantities into the
+    slice axis halves the dominant advance cost vs the (level, corner)
+    8-index form.
 
     With legacy=True the winds/sigmas use the reference-exact
     per-time-level interpolation and both sigma conventions (matched-RNG
@@ -470,9 +671,9 @@ def _sample_met(zA: ZFields, zB: ZFields, tw0, tw1, x, y, z, height,
     if not legacy:
         if tables is None:
             # endtime weights unused here; caller-facing fallback
-            tables = build_step_tables(zA, zB, tw0, tw1, tw0, tw1)
-        h, tropop, ust, wst, ol = sample_2d_packed(tables.pack2, hw, x, y)
-        wind = interp_wind_blended(tables.f3dt, hw, indz, dz1)
+            tables = build_step_tables_paired(zA, zB, tw0, tw1, tw0, tw1)
+        h, tropop, ust, wst, ol, wind = sample_all_paired(
+            tables, hw, indz, dz1, x, y)
         return hw, indz, dz1, h, tropop, ust, wst, ol, wind, None
     h = jnp.maximum(hmix_max(zA, zB, hw, F2_HMIX), 1.0)
     # tropopause: nearest grid point of the FIRST time level
@@ -497,8 +698,8 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
                 cfg: StepConfig, prm: StepParams,
                 z0n: ZFields | None = None, z1n: ZFields | None = None,
                 leg: LegacyRnd | None = None,
-                tables: StepTables | None = None,
-                tables_n: StepTables | None = None):
+                tables: StepTablesPaired | None = None,
+                tables_n: StepTablesPaired | None = None):
     """Advance every scheduled particle by one lsynctime interval.
 
     Returns (particles, diag).  Terminated-by-domain-exit particles get
@@ -527,11 +728,11 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     if not legacy:
         mdt = jnp.bfloat16 if cfg.met_bf16 else jnp.float32
         if tables is None:
-            tables = build_step_tables(z0, z1, tw0, tw1, ew0, ew1,
-                                       dtype=mdt)
+            tables = build_step_tables_paired(z0, z1, tw0, tw1, ew0, ew1,
+                                              dtype=mdt)
         if cfg.nest_nx and tables_n is None:
-            tables_n = build_step_tables(z0n, z1n, tw0, tw1, ew0, ew1,
-                                         dtype=mdt)
+            tables_n = build_step_tables_paired(z0n, z1n, tw0, tw1,
+                                                ew0, ew1, dtype=mdt)
 
     x = p.x
     y = p.y
@@ -614,6 +815,26 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     usig_i = rnd_i[3] * usig_w * meso_f
     vsig_i = rnd_i[4] * vsig_w * meso_f
     wsig_i = rnd_i[5] * wsig_w * meso_f
+    idt_upd = p.idt
+    if cfg.method == 1:
+        # initial adaptive step (initialize.f90:155-162,191):
+        # turbswitch form caps by 0.5/|dsigwdz|, hanna1 form by 600 s
+        if cfg.turbswitch:
+            lim_i = jnp.minimum(
+                jnp.minimum(turb_i.tlw,
+                            h / jnp.maximum(2.0 * jnp.abs(wp_i
+                                                          * turb_i.sigw),
+                                            1e-5)),
+                0.5 / jnp.maximum(jnp.abs(turb_i.dsigwdz), 1e-10))
+        else:
+            lim_i = jnp.minimum(
+                jnp.minimum(turb_i.tlw,
+                            h / jnp.maximum(2.0 * jnp.abs(wp_i), 1e-5)),
+                600.0)
+        idt_i = jnp.maximum(jnp.trunc(lim_i * prm.ctl),
+                            jnp.float32(cfg.mintime))
+        idt_i = jnp.where(pbl, idt_i, prm.lsynctime).astype(jnp.int32)
+        idt_upd = jnp.where(fresh, idt_i, p.idt)
     p = p._replace(
         up=jnp.where(fresh, up_i, p.up),
         vp=jnp.where(fresh, vp_i, p.vp),
@@ -621,23 +842,64 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
         usig=jnp.where(fresh, usig_i, p.usig),
         vsig=jnp.where(fresh, vsig_i, p.vsig),
         wsig=jnp.where(fresh, wsig_i, p.wsig),
+        idt=idt_upd,
         cbt=jnp.where(fresh, 1, p.cbt).astype(jnp.int8))
 
-    # ---------------- PBL branch (advance.f90:276-615) ----------------
-    rnd_h = l_rnd_h if legacy else rng.normals(key, (2, n), tag=1)
-    rnd_w = l_rnd_w if legacy else rng.normals(key, (cfg.ifine, n), tag=2)
+    ldirf = jnp.float32(cfg.ldirect)
+    # settling closure at the frozen horizontal cell (advance.f90:518-531;
+    # get_settling is called with the un-updated xt/yt)
+    if cfg.settling:
+        nix = jnp.clip(jnp.round(x).astype(jnp.int32), 0, cfg.nx - 1)
+        njy = jnp.clip(jnp.round(y).astype(jnp.int32), 0, cfg.ny - 1)
+
+        def settle_fn(zc):
+            indzc, dz1c = vert_weights(zc, height)
+            lin = indzc * (cfg.ny * cfg.nx) + njy * cfg.nx + nix
+            tt_lo = z0.f3d[F3_TT].reshape(-1)[lin]
+            tt_hi = z0.f3d[F3_TT].reshape(-1)[lin + cfg.ny * cfg.nx]
+            rho_lo = z0.f3d[F3_RHO].reshape(-1)[lin]
+            rho_hi = z0.f3d[F3_RHO].reshape(-1)[lin + cfg.ny * cfg.nx]
+            temp = tt_lo * (1 - dz1c) + tt_hi * dz1c
+            rhoa = rho_lo * (1 - dz1c) + rho_hi * dz1c
+            return _particle_settling(prm, p, temp, rhoa)
+    else:
+        settle_fn = None
 
     if cfg.method == 1:
-        (up_pbl, vp_pbl, z_pbl, wp_pbl, icbt, daw_pbl,
-         dcw_pbl) = _pbl_adaptive(
-            cfg, prm, key, z, p.up, p.vp, p.wp, p.cbt, h, ust, wst, ol,
-            wind.rho, wind.drhodz, dt)
+        # -------- reference-faithful adaptive interval (method=1) -----
+        res = _adaptive_interval(
+            cfg, prm, key, leg, z0, z1, tw0, tw1, tables, hw, height,
+            h, tropop, ust, wst, ol, z, p.up, p.vp, p.wp, p.cbt,
+            p.idt, pbl, settle_fn=settle_fn)
+        z_new = jnp.minimum(res["z"], htop)
+        up_new, vp_new, wp_new = res["up"], res["vp"], res["wp"]
+        icbt = res["icbt"]
+        idt_new = res["idt"]
+        dxsave, dysave = res["dxs"], res["dys"]
+        dawsave, dcwsave = res["daw"], res["dcw"]
         if cfg.turboff:
-            up_pbl = jnp.zeros_like(up_pbl)
-            vp_pbl = jnp.zeros_like(vp_pbl)
-            daw_pbl = jnp.zeros_like(daw_pbl)
-            dcw_pbl = jnp.zeros_like(dcw_pbl)
+            up_new = jnp.zeros_like(up_new)
+            vp_new = jnp.zeros_like(vp_new)
+            dawsave = jnp.zeros_like(dawsave)
+            dcwsave = jnp.zeros_like(dcwsave)
+        # last-interpolated wind for windalign + Petterssen (already
+        # settling-inclusive for w)
+        u_ref, v_ref, w_ref = res["u"], res["v"], res["w"]
+        usig_w, vsig_w, wsig_w = res["usig"], res["vsig"], res["wsig"]
+        rnd_m = res["rnd_m"]
+        nan_mask = None
+        nanc_extra = res["nan_count"]
+        t_below = res["t_below"]
+        settling = settle_fn(z_new) if settle_fn is not None \
+            else jnp.zeros_like(z)
+        # corrector only for full-interval steps (advance.f90:829)
+        pett_gate = (idt_new.astype(jnp.float32)
+                     == prm.lsynctime)
     else:
+        # ---------------- fixed-step PBL branch (advance.f90:276-615) --
+        rnd_h = l_rnd_h if legacy else rng.normals(key, (2, n), tag=1)
+        rnd_w = l_rnd_w if legacy else rng.normals(key, (cfg.ifine, n),
+                                                   tag=2)
         turb0 = hanna(z, h, ust, wst, ol) if cfg.turbswitch \
             else hanna1(z, h, ust, wst, ol)
         up_pbl = _ou_update(p.up, rnd_h[0], turb0.sigu, dt / turb0.tlu)
@@ -652,68 +914,62 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
         daw_pbl = up_pbl * dt
         dcw_pbl = vp_pbl * dt
 
-    # settling velocity (advance.f90:518-531)
-    if cfg.settling:
-        nix = jnp.clip(jnp.round(x).astype(jnp.int32), 0, cfg.nx - 1)
-        njy = jnp.clip(jnp.round(y).astype(jnp.int32), 0, cfg.ny - 1)
-        lin = indz * (cfg.ny * cfg.nx) + njy * cfg.nx + nix
-        tt_lo = z0.f3d[F3_TT].reshape(-1)[lin]
-        tt_hi = z0.f3d[F3_TT].reshape(-1)[lin + cfg.ny * cfg.nx]
-        rho_lo = z0.f3d[F3_RHO].reshape(-1)[lin]
-        rho_hi = z0.f3d[F3_RHO].reshape(-1)[lin + cfg.ny * cfg.nx]
-        temp = tt_lo * (1 - dz1) + tt_hi * dz1
-        rhoa = rho_lo * (1 - dz1) + rho_hi * dz1
-        settling = _particle_settling(prm, p, temp, rhoa)
-    else:
-        settling = jnp.zeros_like(z)
-    w_eff = w + settling
+        settling = settle_fn(z) if settle_fn is not None \
+            else jnp.zeros_like(z)
+        w_eff = w + settling
 
-    ldirf = jnp.float32(cfg.ldirect)
-    dxs_pbl = u * dt
-    dys_pbl = v * dt
-    z_pbl = z_pbl + w_eff * dt * ldirf
-    z_pbl = jnp.minimum(z_pbl, htop)
-    z_pbl = jnp.where(z_pbl < 0.0, jnp.minimum(h - 1e-9, -z_pbl), z_pbl)
+        dxs_pbl = u * dt
+        dys_pbl = v * dt
+        z_pbl = z_pbl + w_eff * dt * ldirf
+        z_pbl = jnp.minimum(z_pbl, htop)
+        z_pbl = jnp.where(z_pbl < 0.0, jnp.minimum(h - 1e-9, -z_pbl),
+                          z_pbl)
 
-    # -------- free troposphere / stratosphere (advance.f90:629-708) --------
-    rnd_ft = l_rnd_ft if legacy else rng.normals(key, (3, n), tag=3)
-    weight = jnp.clip((z - tropop) / 1000.0, 0.0, 1.0)
-    uxscale_t = jnp.sqrt(2.0 * D_TROP / dt)
-    uxscale_tr = jnp.sqrt(2.0 * D_TROP / dt * (1.0 - weight))
-    wpscale_tr = jnp.sqrt(2.0 * D_STRAT / dt * weight)
-    wpscale_s = jnp.sqrt(2.0 * D_STRAT / dt)
+        # ------ free troposphere / stratosphere (advance.f90:629-708) --
+        rnd_ft = l_rnd_ft if legacy else rng.normals(key, (3, n), tag=3)
+        weight = jnp.clip((z - tropop) / 1000.0, 0.0, 1.0)
+        uxscale_t = jnp.sqrt(2.0 * D_TROP / dt)
+        uxscale_tr = jnp.sqrt(2.0 * D_TROP / dt * (1.0 - weight))
+        wpscale_tr = jnp.sqrt(2.0 * D_STRAT / dt * weight)
+        wpscale_s = jnp.sqrt(2.0 * D_STRAT / dt)
 
-    ux = jnp.where(in_trop, rnd_ft[0] * uxscale_t,
-                   jnp.where(in_trans, rnd_ft[0] * uxscale_tr, 0.0))
-    vy = jnp.where(in_trop, rnd_ft[1] * uxscale_t,
-                   jnp.where(in_trans, rnd_ft[1] * uxscale_tr, 0.0))
-    wp_ft = jnp.where(in_trop, 0.0,
-                      jnp.where(in_trans,
-                                rnd_ft[2] * wpscale_tr + D_STRAT / 1000.0,
-                                rnd_ft[2] * wpscale_s))
-    if cfg.turboff:
-        ux = jnp.zeros_like(ux)
-        vy = jnp.zeros_like(vy)
-        wp_ft = jnp.zeros_like(wp_ft)
+        ux = jnp.where(in_trop, rnd_ft[0] * uxscale_t,
+                       jnp.where(in_trans, rnd_ft[0] * uxscale_tr, 0.0))
+        vy = jnp.where(in_trop, rnd_ft[1] * uxscale_t,
+                       jnp.where(in_trans, rnd_ft[1] * uxscale_tr, 0.0))
+        wp_ft = jnp.where(in_trop, 0.0,
+                          jnp.where(in_trans,
+                                    rnd_ft[2] * wpscale_tr
+                                    + D_STRAT / 1000.0,
+                                    rnd_ft[2] * wpscale_s))
+        if cfg.turboff:
+            ux = jnp.zeros_like(ux)
+            vy = jnp.zeros_like(vy)
+            wp_ft = jnp.zeros_like(wp_ft)
 
-    dxs_ft = (u + ux) * dt
-    dys_ft = (v + vy) * dt
-    z_ft = z + (w_eff + wp_ft) * dt * ldirf
-    z_ft = jnp.where(z_ft < 0.0, jnp.minimum(h - 1e-9, -z_ft), z_ft)
+        dxs_ft = (u + ux) * dt
+        dys_ft = (v + vy) * dt
+        z_ft = z + (w_eff + wp_ft) * dt * ldirf
+        z_ft = jnp.where(z_ft < 0.0, jnp.minimum(h - 1e-9, -z_ft), z_ft)
 
-    # ---------------- merge branches ----------------
-    dxsave = jnp.where(pbl, dxs_pbl, dxs_ft)
-    dysave = jnp.where(pbl, dys_pbl, dys_ft)
-    dawsave = jnp.where(pbl, daw_pbl, 0.0)
-    dcwsave = jnp.where(pbl, dcw_pbl, 0.0)
-    z_new = jnp.where(pbl, z_pbl, z_ft)
-    up_new = jnp.where(pbl, up_pbl, p.up)
-    vp_new = jnp.where(pbl, vp_pbl, p.vp)
-    wp_new = jnp.where(pbl, wp_pbl, wp_ft)
-    icbt = jnp.where(pbl, icbt, p.cbt)
+        # ---------------- merge branches ----------------
+        dxsave = jnp.where(pbl, dxs_pbl, dxs_ft)
+        dysave = jnp.where(pbl, dys_pbl, dys_ft)
+        dawsave = jnp.where(pbl, daw_pbl, 0.0)
+        dcwsave = jnp.where(pbl, dcw_pbl, 0.0)
+        z_new = jnp.where(pbl, z_pbl, z_ft)
+        up_new = jnp.where(pbl, up_pbl, p.up)
+        vp_new = jnp.where(pbl, vp_pbl, p.vp)
+        wp_new = jnp.where(pbl, wp_pbl, wp_ft)
+        icbt = jnp.where(pbl, icbt, p.cbt)
+        u_ref, v_ref, w_ref = u, v, w_eff
+        idt_new = None
+        nanc_extra = None
+        t_below = None
+        pett_gate = True
 
-    # ---------------- mesoscale fluctuations (advance.f90:720-738) ----------
-    rnd_m = l_rnd_m if legacy else rng.normals(key, (3, n), tag=4)
+        # ------------ mesoscale draws (advance.f90:720-738) ------------
+        rnd_m = l_rnd_m if legacy else rng.normals(key, (3, n), tag=4)
     r = jnp.exp(-2.0 * prm.lsynctime / prm.lwindinterv)
     rs = jnp.sqrt(1.0 - r * r)
     usig_new = r * p.usig + rs * rnd_m[0] * usig_w * TURBMESOSCALE
@@ -730,8 +986,11 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     z_new = jnp.abs(z_new)
 
     # ------- windalign + metric position update (advance.f90:747-799) -------
-    ffinv = 1.0 / jnp.maximum(jnp.sqrt(u * u + v * v), 1e-30)
-    sinphi, cosphi = v * ffinv, u * ffinv
+    # rotation from the LAST-interpolated wind (windalign.f90 is called
+    # with the u,v of the final pass in adaptive mode)
+    ffinv = 1.0 / jnp.maximum(jnp.sqrt(u_ref * u_ref + v_ref * v_ref),
+                              1e-30)
+    sinphi, cosphi = v_ref * ffinv, u_ref * ffinv
     ux_t = cosphi * dawsave - sinphi * dcwsave
     vy_t = sinphi * dawsave + cosphi * dcwsave
     dxsave = dxsave + ux_t
@@ -759,7 +1018,9 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     z_new = jnp.minimum(z_new, htop)
 
     # ---------------- Petterssen corrector (advance.f90:816-986) ------------
-    can_pett = (jnp.abs(endtime) <= jnp.abs(memtime1)) & (~exited)
+    # only full-interval steps correct (ldt==lsynctime gate, :829)
+    can_pett = (jnp.abs(endtime) <= jnp.abs(memtime1)) & (~exited) \
+        & pett_gate
     if cfg.polar and cfg.tile_mode:
         # tile mode: a cap-ending predictor may land outside this tile's
         # halo (meridian convergence), so the endpoint wind gather can't
@@ -778,8 +1039,8 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
         u2, v2, w2 = interp_wind_short(z0, z1, hw2, indz2, dz1_2,
                                        ew0, ew1)
     else:
-        u2, v2, w2 = interp_wind_short_blended(tables.f3de, hw2, indz2,
-                                               dz1_2)
+        u2, v2, w2 = interp_wind_short_paired(tables.packE, hw2, indz2,
+                                              dz1_2)
     if cfg.nest_nx:
         in_nest2 = ((xn > prm.xln + eps_n) & (xn < prm.xrn - eps_n)
                     & (yn > prm.yln + eps_n) & (yn < prm.yrn - eps_n))
@@ -788,15 +1049,15 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
         ytn2 = jnp.clip((yn - prm.yln) * prm.yresoln, 0.0,
                         cfg.nest_ny - 1.001)
         hw2n = horiz_weights(xtn2, ytn2, cfg.nest_nx, cfg.nest_ny, False)
-        u2n, v2n, w2n = interp_wind_short_blended(tables_n.f3de, hw2n,
-                                                  indz2, dz1_2)
+        u2n, v2n, w2n = interp_wind_short_paired(tables_n.packE, hw2n,
+                                                 indz2, dz1_2)
         u2 = jnp.where(in_nest2, u2n, u2)
         v2 = jnp.where(in_nest2, v2n, v2)
         w2 = jnp.where(in_nest2, w2n, w2)
     w2 = w2 + settling
-    du = (u2 - u) / 2.0
-    dv = (v2 - v) / 2.0
-    dw = (w2 - w_eff) / 2.0
+    du = (u2 - u_ref) / 2.0
+    dv = (v2 - v_ref) / 2.0
+    dw = (w2 - w_ref) / 2.0
     dtl = prm.lsynctime
 
     z_corr = z_new + dw * dtl * ldirf
@@ -844,7 +1105,11 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
                        p.itra),
         active=jnp.where(scheduled, keep, p.active),
     )
-    if cfg.method != 1 and not legacy:
+    if cfg.method == 1:
+        # store the next adaptive step (timemanager passes idt inout)
+        new_p = new_p._replace(idt=jnp.where(scheduled, idt_new, p.idt))
+        nanc = nanc_extra
+    elif not legacy:
         nanc = jnp.sum((nan_mask & scheduled & pbl).astype(jnp.int32))
     else:
         nanc = jnp.zeros((), jnp.int32)
@@ -852,6 +1117,8 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
         n_active=jnp.sum(new_p.active.astype(jnp.int32)),
         n_exited=jnp.sum((scheduled & exited).astype(jnp.int32)),
         nan_count=nanc,
+        t_below=(jnp.where(scheduled, t_below, 0.0)
+                 if t_below is not None else None),
     )
     return new_p, diag
 
@@ -883,10 +1150,11 @@ def advance_chunked(p: Particles, z0: ZFields, z1: ZFields,
     edt2 = (memtime1 - endtime).astype(jnp.float32)
     edtt = 1.0 / jnp.maximum(edt1 + edt2, 1e-6)
     mdt = jnp.bfloat16 if cfg.met_bf16 else jnp.float32
-    tables = build_step_tables(z0, z1, dt2 * dtt, dt1 * dtt,
-                               edt2 * edtt, edt1 * edtt, dtype=mdt)
-    tables_n = (build_step_tables(z0n, z1n, dt2 * dtt, dt1 * dtt,
-                                  edt2 * edtt, edt1 * edtt, dtype=mdt)
+    tables = build_step_tables_paired(z0, z1, dt2 * dtt, dt1 * dtt,
+                                      edt2 * edtt, edt1 * edtt, dtype=mdt)
+    tables_n = (build_step_tables_paired(z0n, z1n, dt2 * dtt, dt1 * dtt,
+                                         edt2 * edtt, edt1 * edtt,
+                                         dtype=mdt)
                 if cfg.nest_nx else None)
 
     def body(args):
@@ -900,7 +1168,9 @@ def advance_chunked(p: Particles, z0: ZFields, z1: ZFields,
     p2 = jax.tree.map(lambda a: a.reshape((n,) + a.shape[2:]), pout)
     return p2, StepDiag(n_active=diag.n_active.sum(),
                         n_exited=diag.n_exited.sum(),
-                        nan_count=diag.nan_count.sum())
+                        nan_count=diag.nan_count.sum(),
+                        t_below=(diag.t_below.reshape(n)
+                                 if diag.t_below is not None else None))
 
 
 def _apply_bcs(cfg: StepConfig, prm: StepParams, x_hi, x_lo, y_hi, y_lo):

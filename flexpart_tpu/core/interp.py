@@ -301,6 +301,106 @@ def interp_wind_short_blended(f3dt, hw: HorizWeights, indz, dz1):
     return val[0], val[1], val[2]
 
 
+class StepTablesPaired(NamedTuple):
+    """Per-step grid tables in LEVEL-PAIRED layout: row r = (k, y, x)
+    carries every field at levels k AND k+1 stacked along the slice
+    (field) axis, so one gather instruction with FOUR indices per
+    particle (the horizontal corners) fetches the full interpolation
+    stencil.  v5e measurement (scripts/bench_rowtake*.py): TPU gather
+    cost is ~linear in the per-particle INDEX count and nearly flat in
+    the slice height (4-idx 8-high 10.5 ms vs 8-idx 5-high 27.5 ms per
+    512k chunk), so halving the index count from the (level, corner)
+    form roughly halves the dominant advance cost."""
+    packA: jnp.ndarray   # (15, nz-1, ny, nx): u,v,w,rho,drhodz at
+    #                      (k, k+1) interleaved [f*2+level] + hmix-max,
+    #                      tropo(t0), ustar_t, wstar_t, oli_t
+    packE: jnp.ndarray   # (6, nz-1, ny, nx): endtime u,v,w at (k, k+1)
+
+
+def build_step_tables_paired(z0: ZFields, z1: ZFields, tw0, tw1, ew0, ew1,
+                             dtype=jnp.float32) -> StepTablesPaired:
+    """One fused pass over the grid per sync interval (shared by all
+    particle chunks).  hmix takes the max over both time levels here
+    (advance.f90:236-252); the 2-D rows are broadcast down the k axis
+    so they ride the same 4-index gather."""
+    from ..met.fields import F2_HMIX, F2_OLI, F2_TROPO, F2_USTAR, F2_WSTAR
+    f3dt = blend_wind_stack(z0, z1, tw0, tw1)            # (5, nz, ny, nx)
+    nz, ny, nx = f3dt.shape[1:]
+    pairA = jnp.stack([f3dt[:, :-1], f3dt[:, 1:]],
+                      axis=1).reshape(10, nz - 1, ny, nx)
+    sidx = jnp.asarray((F2_USTAR, F2_WSTAR, F2_OLI))
+    f2dt = z0.f2d[sidx] * tw0 + z1.f2d[sidx] * tw1
+    pack2d = jnp.concatenate([
+        jnp.maximum(z0.f2d[F2_HMIX], z1.f2d[F2_HMIX])[None],
+        z0.f2d[F2_TROPO][None],
+        f2dt,
+    ], axis=0)                                           # (5, ny, nx)
+    pack2b = jnp.broadcast_to(pack2d[:, None],
+                              (5, nz - 1, ny, nx))
+    packA = jnp.concatenate([pairA, pack2b], axis=0).astype(dtype)
+    idx3 = jnp.asarray((F3_U, F3_V, F3_W))
+    e3 = z0.f3d[idx3] * ew0 + z1.f3d[idx3] * ew1
+    packE = jnp.stack([e3[:, :-1], e3[:, 1:]],
+                      axis=1).reshape(6, nz - 1, ny, nx).astype(dtype)
+    return StepTablesPaired(packA=packA, packE=packE)
+
+
+def sample_all_paired(tables: StepTablesPaired, hw: HorizWeights,
+                      indz, dz1, x, y):
+    """Everything the PBL/FT integrator needs at the particle position
+    from ONE 4-index gather of the paired table: returns
+    (h, tropop, ust, wst, ol, WindInterp) — the fused
+    interpol_all/interpol_wind + 2-D family."""
+    nzp, ny, nx = tables.packA.shape[1:]
+    flat = tables.packA.reshape(15, nzp * ny * nx)
+    lin = indz[None] * (ny * nx) + hw.idx4.T             # (4, N)
+    g = flat[:, lin].astype(jnp.float32)                 # (15, 4, N)
+    p4t = hw.p4.T                                        # (4, N)
+    low = g[0:10:2]                                      # (5, 4, N) @ k
+    high = g[1:10:2]                                     # (5, 4, N) @ k+1
+    lev0 = jnp.sum(low * p4t, axis=1)                    # (5, N)
+    lev1 = jnp.sum(high * p4t, axis=1)
+    val = lev0 * (1.0 - dz1) + lev1 * dz1
+    # wind stddev: per-level 4-corner variance, levels averaged
+    # (interpol_all.f90:216-240 convention on the time-blended stack)
+    uvw = jnp.stack([low[:3], high[:3]], axis=1)         # (3, 2, 4, N)
+    sl = jnp.sum(uvw, axis=2)
+    sq = jnp.sum(uvw * uvw, axis=2)
+    var = sq - sl * sl / 4.0
+    sig_lev = jnp.where(var < 1.0e-30, 0.0,
+                        jnp.sqrt(jnp.maximum(var, 0.0) / 3.0))
+    sig = 0.5 * (sig_lev[:, 0] + sig_lev[:, 1])
+    wind = WindInterp(u=val[0], v=val[1], w=val[2], rho=val[3],
+                      drhodz=val[4], usig=sig[0], vsig=sig[1],
+                      wsig=sig[2])
+    # 2-D quantities from the same gather (rows 10-14)
+    h = jnp.maximum(jnp.max(g[10], axis=0), 1.0)
+    ix_n = (x - hw.ix) >= 0.5
+    iy_n = (y - hw.jy) >= 0.5
+    trop_c = g[11]
+    tropop = jnp.where(iy_n, jnp.where(ix_n, trop_c[3], trop_c[2]),
+                       jnp.where(ix_n, trop_c[1], trop_c[0]))
+    ust = jnp.sum(g[12] * p4t, axis=0)
+    wst = jnp.sum(g[13] * p4t, axis=0)
+    oliaux = jnp.sum(g[14] * p4t, axis=0)
+    ol = jnp.where(oliaux != 0.0, 1.0 / oliaux, 99999.0)
+    return h, tropop, ust, wst, ol, wind
+
+
+def interp_wind_short_paired(packE, hw: HorizWeights, indz, dz1):
+    """Petterssen-corrector wind: one 4-index gather of the endtime
+    level-paired stack (interpol_wind_short.f90)."""
+    nzp, ny, nx = packE.shape[1:]
+    flat = packE.reshape(6, nzp * ny * nx)
+    lin = indz[None] * (ny * nx) + hw.idx4.T
+    g = flat[:, lin].astype(jnp.float32)                 # (6, 4, N)
+    p4t = hw.p4.T
+    lev0 = jnp.sum(g[0:6:2] * p4t, axis=1)               # (3, N)
+    lev1 = jnp.sum(g[1:6:2] * p4t, axis=1)
+    val = lev0 * (1.0 - dz1) + lev1 * dz1
+    return val[0], val[1], val[2]
+
+
 def hmix_max(z0: ZFields, z1: ZFields, hw: HorizWeights, f2_hmix: int):
     """Max mixing height over the 4 surrounding points and both time levels
     (advance.f90:236-252)."""

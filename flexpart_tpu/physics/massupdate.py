@@ -53,14 +53,18 @@ def apply_wetdepo(p: Particles, lam, grfraction, ltsample, ldeltat,
 
 @functools.partial(jax.jit, static_argnames=("sp", "has_vdep"))
 def apply_decay_drydep(p: Particles, vdep_field, lsynctime, ldeltat,
-                       sp: MassSpecies, has_vdep: bool):
+                       sp: MassSpecies, has_vdep: bool, t_below=None):
     """Radioactive decay + dry-deposition mass removal + minmass
-    termination (timemanager.f90:643-686; prob accumulation
-    advance.f90:582-599 collapsed to the fixed-step single factor).
+    termination (timemanager.f90:643-686).
 
     vdep_field: (nspec, ny, nx) deposition-velocity field of the current
     wind-field time level (bilinear at the particle, interpol_vdep.f90)
-    or None.  Returns (particles, drydeposit (nspec, N))."""
+    or None.  t_below: adaptive-mode per-particle seconds spent below
+    2*href during the interval (the prob accumulation of
+    advance.f90:582-599, whose per-pass factors multiply to
+    exp(-vdep*t_below/2href)); None = fixed-step single-factor rule
+    (identical when dt==lsynctime).  Returns
+    (particles, drydeposit (nspec, N))."""
     n = p.capacity
     nspec = p.nspec
     dec = jnp.asarray(sp.decay, jnp.float32)
@@ -72,8 +76,11 @@ def apply_decay_drydep(p: Particles, vdep_field, lsynctime, ldeltat,
         hw = horiz_weights(p.x, p.y, nx_m, ny_m, False)
         flat = vdep_field.reshape(nspec, ny_m * nx_m)
         vd = jnp.einsum("snc,nc->sn", flat[:, hw.idx4], hw.p4)  # (nspec,N)
-        prob = jnp.where(p.z[None, :] < 2.0 * HREF,
-                         1.0 - jnp.exp(-vd * dt / (2.0 * HREF)), 0.0)
+        if t_below is not None:
+            prob = 1.0 - jnp.exp(-vd * t_below[None, :] / (2.0 * HREF))
+        else:
+            prob = jnp.where(p.z[None, :] < 2.0 * HREF,
+                             1.0 - jnp.exp(-vd * dt / (2.0 * HREF)), 0.0)
     else:
         prob = jnp.zeros((nspec, n), jnp.float32)
 

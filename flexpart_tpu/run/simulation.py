@@ -1082,6 +1082,7 @@ class Simulation:
                     self.step_prm, z0n, z1n)
                 n_act = int(diag.n_active)
                 self.nan_count += int(getattr(diag, "nan_count", 0))
+                self._t_below = diag.t_below    # adaptive drydep window
             particle_steps += n_act
             self.timers.add("advance", _time.perf_counter() - t0)
 
@@ -1131,7 +1132,8 @@ class Simulation:
                         self.particles, ddep = apply_decay_drydep(
                             self.particles, vdep, jnp.int32(cmd.lsynctime),
                             jnp.int32(ldeltat), self.mass_species,
-                            has_vdep=self.any_drydep)
+                            has_vdep=self.any_drydep,
+                            t_below=getattr(self, "_t_below", None))
                     if self.any_drydep and cmd.ldirect == 1:
                         self.acc = self.acc._replace(
                             drygridunc=self._scatter_depo(

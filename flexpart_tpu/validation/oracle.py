@@ -55,6 +55,15 @@ class OracleParams:
     sp_dquer: float = 0.0       # [um]
     sp_cunningham: float = 0.0
     sp_vsetaver: float = 0.0
+    # adaptive per-particle time stepping (method=1, ctl>0;
+    # readcommand.f90:378-384); forward runs only
+    method: int = 0
+    ctl: float = -5.0
+    mintime: int = 1
+    # constant dry-deposition velocity [m/s] for the in-loop deposition
+    # probability (advance.f90:582-599 with getvdep.f90:196-203's
+    # prescribed-dryvel rule); 0 = no dry deposition
+    vdep: float = 0.0
 
 
 class Turb:
@@ -279,6 +288,45 @@ class _Interp:
         dz2 = (ht[indzp] - f32(zt)) * dz
         return dz1 * lev[1] + dz2 * lev[0]
 
+    def profiles_full(self, xt, yt):
+        """Full vertical columns of u,v,w,rho,drhodz + per-level wind
+        sigmas at the frozen horizontal stencil — the adaptive loop's
+        profile store (interpol_all.f90 with every level filled; the
+        reference fills levels lazily via interpol_misslev, numerically
+        identical).  Returns (ust, wst, ol, prof[name][nz], sig[name][nz])."""
+        ix, jy, ixp, jyp, nix, njy, p = self.corners(xt, yt)
+        ust = self.f2_time(F2_USTAR, ix, jy, ixp, jyp, p)
+        wst = self.f2_time(F2_WSTAR, ix, jy, ixp, jyp, p)
+        oliaux = self.f2_time(F2_OLI, ix, jy, ixp, jyp, p)
+        ol = f32(1.0) / oliaux if oliaux != 0.0 else f32(99999.0)
+        nz = self.prm.nz
+        prof = {}
+        for name, fid in (("u", F3_U), ("v", F3_V), ("w", F3_W),
+                          ("rho", F3_RHO), ("rhograd", F3_DRHODZ)):
+            prof[name] = [
+                (self._bilin(self.f3[0][fid][n], ix, jy, ixp, jyp, p)
+                 * self.dt2
+                 + self._bilin(self.f3[1][fid][n], ix, jy, ixp, jyp, p)
+                 * self.dt1) * self.dtt
+                for n in range(nz)]
+        sig = {}
+        for name, fid in (("usig", F3_U), ("vsig", F3_V), ("wsig", F3_W)):
+            lev = []
+            for n in range(nz):
+                sl = f32(0.0)
+                sq = f32(0.0)
+                for m in range(2):
+                    a = self.f3[m][fid][n]
+                    for j in (jy, jyp):
+                        for i in (ix, ixp):
+                            sl = sl + a[j, i]
+                            sq = sq + a[j, i] * a[j, i]
+                xaux = sq - sl * sl / f32(8.0)
+                lev.append(f32(0.0) if xaux < 1.0e-30
+                           else f32(math.sqrt(xaux / 7.0)))
+            sig[name] = lev
+        return ust, wst, ol, prof, sig
+
     def wind16(self, xt, yt, zt):
         """interpol_wind.f90: u,v,w + 16-sample wind sigmas (above PBL)."""
         ix, jy, ixp, jyp, _, _, p = self.corners(xt, yt)
@@ -372,6 +420,7 @@ def oracle_initialize(prm: OracleParams, itp: _Interp, stream: NrandStream,
     ix, jy, ixp, jyp, _, _, _ = itp.corners(xt, yt)
     h = max(itp.hmix_max(ix, jy, ixp, jyp), f32(1.0))
 
+    idt = abs(prm.lsynctime)
     if zt / h <= 1.0:        # PBL
         ust, wst, ol, indz, indzp, prof, sig = itp.profiles(xt, yt, zt)
         t = _hanna(zt, h, ust, wst, ol) if prm.turbswitch \
@@ -383,6 +432,16 @@ def oracle_initialize(prm: OracleParams, itp: _Interp, stream: NrandStream,
         wp = table[nrand + 2]
         if not prm.turbswitch:
             wp = wp * t.sigw
+        if prm.method == 1:
+            # initial adaptive step (initialize.f90:155-162)
+            if prm.turbswitch:
+                idt = int(min(t.tlw,
+                              h / max(2.0 * abs(wp * t.sigw), 1e-5),
+                              0.5 / abs(t.dsigwdz)) * prm.ctl)
+            else:
+                idt = int(min(t.tlw, h / max(2.0 * abs(wp), 1e-5),
+                              600.0) * prm.ctl)
+            idt = max(idt, prm.mintime)
         usig = f32(0.5) * (sig["usig"][1] + sig["usig"][0])
         vsig = f32(0.5) * (sig["vsig"][1] + sig["vsig"][0])
         wsig = f32(0.5) * (sig["wsig"][1] + sig["wsig"][0])
@@ -399,7 +458,7 @@ def oracle_initialize(prm: OracleParams, itp: _Interp, stream: NrandStream,
     usigold = table[nrand] * usig            # NO turbmesoscale factor
     vsigold = table[nrand + 1] * vsig        # (initialize.f90:215-217)
     wsigold = table[nrand + 2] * wsig
-    return up, vp, wp, usigold, vsigold, wsigold, 1
+    return up, vp, wp, usigold, vsigold, wsigold, 1, idt
 
 
 def oracle_advance(prm: OracleParams, itp: _Interp, stream: NrandStream,
@@ -436,105 +495,167 @@ def oracle_advance(prm: OracleParams, itp: _Interp, stream: NrandStream,
 
     settling = f32(0.0)
 
+    prob = f32(state.get("prob", 0.0)) * 0.0    # reset (advance.f90:139-142)
+    ldt = int(state.get("idt", lsync))
+    itimec = itime
+    to_ft = False                # mid-interval PBL exit (goto 700)
     if zeta <= 1.0:
-        # ---- PBL branch, one fixed step (advance.f90:276-615) ----
-        dt = f32(lsync)
-        ust, wst, ol, indz, indzp, prof, sig = itp.profiles(xt, yt, zt)
-        u = itp.vert(zt, indz, indzp, prof["u"])
-        v = itp.vert(zt, indz, indzp, prof["v"])
-        w = itp.vert(zt, indz, indzp, prof["w"])
-        rhoa = itp.vert(zt, indz, indzp, prof["rho"])
-        rhograd = itp.vert(zt, indz, indzp, prof["rhograd"])
-        t = _hanna(zt, h, ust, wst, ol) if prm.turbswitch \
-            else _hanna1(zt, h, ust, wst, ol)
+        # ---- PBL branch (advance.f90:276-615); method=0 runs the loop
+        # exactly once, method=1 until itimec covers the interval ----
+        ust = wst = ol = None
+        prof = sig = None
+        loop = 0
+        while True:
+            loop += 1
+            if prm.method == 1:
+                ldt = min(ldt, abs(lsync - (itimec - itime) * ldirect))
+                itimec = itimec + ldt * ldirect
+            else:
+                ldt = lsync
+                itimec = itime + lsync * ldirect
+            dt = f32(ldt)
 
-        # horizontal OU (advance.f90:369-385)
-        if nrand + 1 > R:
-            nrand = 1
-        if dt / t.tlu < 0.5:
-            up = (f32(1.0) - dt / t.tlu) * up + table[nrand] * t.sigu \
-                * f32(math.sqrt(2.0 * dt / t.tlu))
-        else:
-            ru = f32(math.exp(-dt / t.tlu))
-            up = ru * up + table[nrand] * t.sigu \
-                * f32(math.sqrt(1.0 - ru * ru))
-        if dt / t.tlv < 0.5:
-            vp = (f32(1.0) - dt / t.tlv) * vp + table[nrand + 1] * t.sigv \
-                * f32(math.sqrt(2.0 * dt / t.tlv))
-        else:
-            rv = f32(math.exp(-dt / t.tlv))
-            vp = rv * vp + table[nrand + 1] * t.sigv \
-                * f32(math.sqrt(1.0 - rv * rv))
-        nrand += 2
+            if loop == 1:
+                ust, wst, ol, prof, sig = itp.profiles_full(xt, yt)
+            indz, indzp = itp.indz_of(zt)
+            u = itp.vert(zt, indz, indzp,
+                         (prof["u"][indz], prof["u"][indzp]))
+            v = itp.vert(zt, indz, indzp,
+                         (prof["v"][indz], prof["v"][indzp]))
+            w = itp.vert(zt, indz, indzp,
+                         (prof["w"][indz], prof["w"][indzp]))
+            rhoa = itp.vert(zt, indz, indzp,
+                            (prof["rho"][indz], prof["rho"][indzp]))
+            rhograd = itp.vert(zt, indz, indzp,
+                               (prof["rhograd"][indz],
+                                prof["rhograd"][indzp]))
+            t = _hanna(zt, h, ust, wst, ol) if prm.turbswitch \
+                else _hanna1(zt, h, ust, wst, ol)
 
-        if nrand + prm.ifine > R:
-            nrand = 1
-        rhoaux = rhograd / rhoa
-        dtf = dt * f32(1.0 / prm.ifine)
-        dtftlw = dtf / t.tlw
+            # horizontal OU (advance.f90:369-385)
+            if nrand + 1 > R:
+                nrand = 1
+            if dt / t.tlu < 0.5:
+                up = (f32(1.0) - dt / t.tlu) * up + table[nrand] * t.sigu \
+                    * f32(math.sqrt(2.0 * dt / t.tlu))
+            else:
+                ru = f32(math.exp(-dt / t.tlu))
+                up = ru * up + table[nrand] * t.sigu \
+                    * f32(math.sqrt(1.0 - ru * ru))
+            if dt / t.tlv < 0.5:
+                vp = (f32(1.0) - dt / t.tlv) * vp + table[nrand + 1] \
+                    * t.sigv * f32(math.sqrt(2.0 * dt / t.tlv))
+            else:
+                rv = f32(math.exp(-dt / t.tlv))
+                vp = rv * vp + table[nrand + 1] * t.sigv \
+                    * f32(math.sqrt(1.0 - rv * rv))
+            nrand += 2
 
-        # vertical Langevin, ifine substeps (advance.f90:396-498)
-        for i in range(1, prm.ifine + 1):
-            if prm.turbswitch:
-                if dtftlw < 0.5:
-                    wp = ((f32(1.0) - dtftlw) * wp
-                          + table[nrand + i] * f32(math.sqrt(2.0 * dtftlw))
-                          + dtf * (t.dsigwdz + rhoaux * t.sigw)) * f32(icbt)
+            if nrand + prm.ifine > R:
+                nrand = 1
+            rhoaux = rhograd / rhoa
+            dtf = dt * f32(1.0 / prm.ifine)
+            dtftlw = dtf / t.tlw
+
+            # vertical Langevin, ifine substeps (advance.f90:396-498)
+            for i in range(1, prm.ifine + 1):
+                if prm.turbswitch:
+                    if dtftlw < 0.5:
+                        wp = ((f32(1.0) - dtftlw) * wp
+                              + table[nrand + i]
+                              * f32(math.sqrt(2.0 * dtftlw))
+                              + dtf * (t.dsigwdz + rhoaux * t.sigw)) \
+                            * f32(icbt)
+                    else:
+                        rw = f32(math.exp(-dtftlw))
+                        wp = (rw * wp
+                              + table[nrand + i]
+                              * f32(math.sqrt(1.0 - rw * rw))
+                              + t.tlw * (f32(1.0) - rw)
+                              * (t.dsigwdz + rhoaux * t.sigw)) * f32(icbt)
+                    delz = wp * t.sigw * dtf
                 else:
                     rw = f32(math.exp(-dtftlw))
                     wp = (rw * wp
-                          + table[nrand + i] * f32(math.sqrt(1.0 - rw * rw))
+                          + table[nrand + i]
+                          * f32(math.sqrt(1.0 - rw * rw)) * t.sigw
                           + t.tlw * (f32(1.0) - rw)
-                          * (t.dsigwdz + rhoaux * t.sigw)) * f32(icbt)
-                delz = wp * t.sigw * dtf
-            else:
-                rw = f32(math.exp(-dtftlw))
-                wp = (rw * wp
-                      + table[nrand + i] * f32(math.sqrt(1.0 - rw * rw))
-                      * t.sigw
-                      + t.tlw * (f32(1.0) - rw)
-                      * (t.dsigw2dz + rhoaux * t.sigw * t.sigw)) * f32(icbt)
-                delz = wp * dtf
+                          * (t.dsigw2dz + rhoaux * t.sigw * t.sigw)) \
+                        * f32(icbt)
+                    delz = wp * dtf
 
-            if abs(delz) > h:
-                delz = f32(math.fmod(float(delz), float(h)))
-            if delz < -zt:
-                icbt = -1
-                zt = -zt - delz
-            elif delz > (h - zt):
-                icbt = -1
-                zt = -zt - delz + f32(2.0) * h
-            else:
-                icbt = 1
-                zt = zt + delz
-            if i != prm.ifine:
-                # hanna_short refresh (advance.f90:494-496): recompute
-                # sigmas at the new z (full hanna is equivalent here)
-                t = _hanna(zt, h, ust, wst, ol) if prm.turbswitch \
-                    else _hanna1(zt, h, ust, wst, ol)
-        nrand += prm.ifine + 1      # Fortran do-loop leaves i=ifine+1
+                if abs(delz) > h:
+                    delz = f32(math.fmod(float(delz), float(h)))
+                if delz < -zt:
+                    icbt = -1
+                    zt = -zt - delz
+                elif delz > (h - zt):
+                    icbt = -1
+                    zt = -zt - delz + f32(2.0) * h
+                else:
+                    icbt = 1
+                    zt = zt + delz
+                if i != prm.ifine:
+                    # hanna_short refresh (advance.f90:494-496)
+                    t = _hanna(zt, h, ust, wst, ol) if prm.turbswitch \
+                        else _hanna1(zt, h, ust, wst, ol)
+            nrand += prm.ifine + 1      # Fortran do-loop leaves i=ifine+1
 
-        if prm.settling:
-            settling = _settling(prm, itp, xt, yt, zt)
-            w = w + settling
+            # next adaptive step (advance.f90:504-511)
+            if prm.method == 1:
+                if prm.turbswitch:
+                    ldt = int(min(t.tlw,
+                                  h / max(2.0 * abs(wp * t.sigw), 1e-5),
+                                  0.5 / abs(t.dsigwdz)) * prm.ctl)
+                else:
+                    ldt = int(min(t.tlw,
+                                  h / max(2.0 * abs(wp), 1e-5)) * prm.ctl)
+                ldt = max(ldt, prm.mintime)
 
-        dxsave += u * dt
-        dysave += v * dt
-        dawsave += up * dt
-        dcwsave += vp * dt
-        zt = zt + w * dt * f32(ldirect)
-        if zt >= ht[nz - 1]:
-            zt = ht[nz - 1] - f32(100.0) * eps
-        if zt < 0.0:
-            zt = min(h - eps2, -zt)
-        usig = f32(0.5) * (sig["usig"][1] + sig["usig"][0])
-        vsig = f32(0.5) * (sig["vsig"][1] + sig["vsig"][0])
-        wsig = f32(0.5) * (sig["wsig"][1] + sig["wsig"][0])
-        ldt = lsync
-    else:
-        # ---- free troposphere / stratosphere (advance.f90:628-708) ----
+            if prm.settling:
+                settling = _settling(prm, itp, xt, yt, zt)
+                w = w + settling
+
+            dxsave += u * dt
+            dysave += v * dt
+            dawsave += up * dt
+            dcwsave += vp * dt
+            zt = zt + w * dt * f32(ldirect)
+            if zt >= ht[nz - 1]:
+                zt = ht[nz - 1] - f32(100.0) * eps
+
+            done = (itimec == itime + lsync * ldirect)
+            if zt > h:
+                if done:
+                    break                       # goto 99
+                to_ft = True                    # goto 700
+                break
+
+            # deposition probability (advance.f90:582-599), after the
+            # vertical update, before the below-ground reflection
+            if prm.vdep > 0.0 and zt < 2.0 * f32(15.0):
+                prob = f32(1.0) + (prob - f32(1.0)) * f32(
+                    math.exp(-prm.vdep * abs(float(dt)) / (2.0 * 15.0)))
+
+            if zt < 0.0:
+                zt = min(h - eps2, -zt)
+
+            if done:
+                break
+        if not to_ft:
+            indz, indzp = itp.indz_of(zt)
+            usig = f32(0.5) * (sig["usig"][indzp] + sig["usig"][indz])
+            vsig = f32(0.5) * (sig["vsig"][indzp] + sig["vsig"][indz])
+            wsig = f32(0.5) * (sig["wsig"][indzp] + sig["wsig"][indz])
+            if prm.method == 0:
+                ldt = lsync
+    if zeta > 1.0 or to_ft:
+        # ---- free troposphere / stratosphere (advance.f90:628-708);
+        # entered directly (zeta>1, full interval) or from a
+        # mid-interval PBL exit with the remaining time (goto 700,
+        # advance.f90:648 `ldt=abs(lsynctime-itimec+itime)`) ----
         u, v, w, usig, vsig, wsig = itp.wind16(xt, yt, zt)
-        ldt = lsync
+        ldt = abs(lsync - (itimec - itime) * ldirect)
         dt = f32(ldt)
         if zt < tropop:
             uxscale = f32(math.sqrt(2.0 * D_TROP / dt))
@@ -663,7 +784,7 @@ def oracle_advance(prm: OracleParams, itp: _Interp, stream: NrandStream,
     state = dict(state)
     state.update(xt=xt, yt=yt, zt=zt, up=up, vp=vp, wp=wp,
                  usigold=usigold, vsigold=vsigold, wsigold=wsigold,
-                 icbt=icbt)
+                 icbt=icbt, idt=ldt, prob=float(prob))
     return state, 0
 
 
@@ -698,7 +819,7 @@ def run_oracle(prm: OracleParams, z0, z1, memtime, particles, nsteps,
                 continue
             if do_init and k == 0:   # fresh at itime0 (timemanager:553)
                 (s["up"], s["vp"], s["wp"], s["usigold"], s["vsigold"],
-                 s["wsigold"], s["icbt"]) = oracle_initialize(
+                 s["wsigold"], s["icbt"], s["idt"]) = oracle_initialize(
                     prm, itp, stream, table, float(s["xt"]),
                     float(s["yt"]), f32(s["zt"]))
             states[j], nstops[j] = oracle_advance(

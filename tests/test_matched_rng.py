@@ -129,19 +129,20 @@ def _run_oracle(grid, z0, z1, x, y, z, nsteps, oprm, seed=SEED):
     return states, nstops, [np.asarray(t, np.float64) for t in trace]
 
 
-def _params(grid, turbswitch, ifine, settling=False, **sp):
+def _params(grid, turbswitch, ifine, settling=False, method=0, ctl=-5.0,
+            **sp):
     cfg = StepConfig(nx=grid.nx, ny=grid.ny, nz=grid.nlev,
                      xglobal=grid.xglobal, ldirect=1,
-                     turbswitch=turbswitch, ifine=ifine, method=0,
+                     turbswitch=turbswitch, ifine=ifine, method=method,
                      settling=settling)
     prm = StepParams.make(dx=grid.dx, dy=grid.dy, ylat0=grid.ylat0,
                           dxconst=grid.dxconst, dyconst=grid.dyconst,
-                          lsynctime=LSYNC, fine=1.0 / ifine,
+                          lsynctime=LSYNC, fine=1.0 / ifine, ctl=ctl,
                           lwindinterv=abs(MEMTIME[1] - MEMTIME[0]), **sp)
     oprm = OracleParams(nx=grid.nx, ny=grid.ny, nz=grid.nlev,
                         xglobal=grid.xglobal, ldirect=1,
                         turbswitch=turbswitch, ifine=ifine,
-                        lsynctime=LSYNC,
+                        lsynctime=LSYNC, method=method, ctl=ctl,
                         lwindinterv=abs(MEMTIME[1] - MEMTIME[0]),
                         dx=grid.dx, dy=grid.dy, ylat0=grid.ylat0,
                         dxconst=float(grid.dxconst),
@@ -207,6 +208,35 @@ def test_matched_positions_settling(met_setup):
                                           oprm)
     assert all(s == 0 for s in nstops)
     _compare(traj_k, trace_o, nstops)
+
+
+def test_matched_positions_adaptive(met_setup):
+    """Adaptive per-particle time stepping (method=1, ctl=5, ifine=2 —
+    the Chernobyl-style CTL>=0.1 configuration): the kernel's masked
+    while-loop with per-particle nrand cursors must track the oracle's
+    serial goto-100 loop (advance.f90:282-609) pass for pass, including
+    per-pass vertical re-interpolation, the idt carry-over between sync
+    intervals, and mid-interval PBL-exit -> free-troposphere
+    completion."""
+    grid, z0, z1, height = met_setup
+    cfg, prm, oprm = _params(grid, True, 2, method=1, ctl=5.0)
+    n = 24
+    x, y, z = _start_positions(n)
+    nsteps = 4
+    pk, traj_k = _run_kernel_legacy(grid, z0, z1, x, y, z, nsteps, cfg,
+                                    prm)
+    states, nstops, trace_o = _run_oracle(grid, z0, z1, x, y, z, nsteps,
+                                          oprm)
+    assert all(s == 0 for s in nstops)
+    assert bool(np.all(np.asarray(pk.active)))
+    # adaptive runs many substeps per interval -> more f32 roundoff
+    # than the fixed-step comparison
+    _compare(traj_k, trace_o, nstops, atol_xy=2e-2, atol_z=5.0)
+    # the stored next-step idt must agree too (it gates the Petterssen
+    # corrector and the next interval's first pass)
+    idt_k = np.asarray(pk.idt)
+    idt_o = np.asarray([s["idt"] for s in states])
+    assert (idt_k == idt_o).mean() > 0.8, (idt_k, idt_o)
 
 
 def test_matched_concentrations(met_setup):
