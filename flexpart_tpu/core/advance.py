@@ -56,8 +56,13 @@ class StepConfig(NamedTuple):
     #                             the interval is covered, bounded by
     #                             dt_total/mintime)
     mintime: float = 1.0        # minimum adaptive substep [s] (par_mod)
-    nest_nx: int = 0            # nested met grid shape (0 = no nest)
-    nest_ny: int = 0
+    nest_nx: int = 0            # single nested met grid (0 = no nest);
+    nest_ny: int = 0            # superseded by `nests` when that is set
+    nests: tuple = ()           # multi-nest shapes ((nx, ny), ...)
+    #                             ordered OUTERMOST -> INNERMOST; the
+    #                             innermost containing nest wins per
+    #                             particle (advance.f90:167-175 scans
+    #                             j=numbnests,1,-1)
     polar: bool = False         # global grid reaching the poles: use the
     #                             stereographic update poleward of 75 deg
     tile_mode: bool = False     # domain-decomposed tile step: positions
@@ -93,7 +98,8 @@ class StepParams(NamedTuple):
     sp_dquer: jnp.ndarray       # [um]
     sp_cunningham: jnp.ndarray
     sp_vsetaver: jnp.ndarray
-    # nested met grid window in mother-grid units (com_mod xln/xrn...)
+    # nested met grid windows in mother-grid units, (nnest,) arrays
+    # ordered outermost -> innermost (com_mod xln/xrn...)
     xln: jnp.ndarray
     yln: jnp.ndarray
     xrn: jnp.ndarray
@@ -120,8 +126,8 @@ class StepParams(NamedTuple):
         return cls(f(dx), f(dy), f(ylat0), f(dxconst), f(dyconst),
                    f(abs(lsynctime)), f(fine), f(ctl), f(lwindinterv),
                    v(sp_density), v(sp_dquer), v(sp_cunningham),
-                   v(sp_vsetaver), f(xln), f(yln), f(xrn), f(yrn),
-                   f(xresoln), f(yresoln), f(xlon0),
+                   v(sp_vsetaver), v(xln), v(yln), v(xrn), v(yrn),
+                   v(xresoln), v(yresoln), f(xlon0),
                    f(tile_x0), f(nxm_pol))
 
 
@@ -712,8 +718,19 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     n = p.capacity
     scheduled = p.active
     legacy = leg is not None
-    if legacy and cfg.nest_nx:
+    # nested met grids, outermost -> innermost (advance.f90:161-175)
+    nshapes = (cfg.nests if cfg.nests
+               else ((cfg.nest_nx, cfg.nest_ny),) if cfg.nest_nx else ())
+    zn0_t = (tuple(z0n) if isinstance(z0n, (tuple, list))
+             else ((z0n,) if z0n is not None else ()))
+    zn1_t = (tuple(z1n) if isinstance(z1n, (tuple, list))
+             else ((z1n,) if z1n is not None else ()))
+    if legacy and nshapes:
         raise ValueError("legacy RNG mode does not support nests")
+    if cfg.method == 1 and nshapes:
+        raise ValueError("adaptive stepping (method=1) with nested met "
+                         "grids is not supported yet; use CTL<0 or the "
+                         "mother grid only")
 
     dt1 = (itime - memtime0).astype(jnp.float32)
     dt2 = (memtime1 - itime).astype(jnp.float32)
@@ -730,9 +747,14 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
         if tables is None:
             tables = build_step_tables_paired(z0, z1, tw0, tw1, ew0, ew1,
                                               dtype=mdt)
-        if cfg.nest_nx and tables_n is None:
-            tables_n = build_step_tables_paired(z0n, z1n, tw0, tw1,
-                                                ew0, ew1, dtype=mdt)
+        if nshapes and tables_n is None:
+            tables_n = tuple(
+                build_step_tables_paired(zn0_t[k], zn1_t[k], tw0, tw1,
+                                         ew0, ew1, dtype=mdt)
+                for k in range(len(nshapes)))
+        elif tables_n is not None and not isinstance(tables_n,
+                                                     (tuple, list)):
+            tables_n = (tables_n,)
 
     x = p.x
     y = p.y
@@ -743,28 +765,32 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
                                 cfg.nx, cfg.ny, cfg.xglobal,
                                 legacy=legacy, tables=tables)
 
-    # nested met fields: recompute for particles inside the nest window
-    # and select (advance.f90:161-175 nest branch; the reference picks
-    # the innermost nest per particle — here one nest level)
-    if cfg.nest_nx:
+    # nested met fields: recompute for particles inside each nest window
+    # and select, outermost first so the INNERMOST containing nest wins
+    # (advance.f90:161-175 scans j=numbnests,1,-1)
+    if nshapes:
         eps_n = jnp.float32(cfg.nx / 3.0e5)
-        in_nest = ((x > prm.xln + eps_n) & (x < prm.xrn - eps_n)
-                   & (y > prm.yln + eps_n) & (y < prm.yrn - eps_n))
-        xtn = (x - prm.xln) * prm.xresoln
-        ytn = (y - prm.yln) * prm.yresoln
-        xtn = jnp.clip(xtn, 0.0, cfg.nest_nx - 1.001)
-        ytn = jnp.clip(ytn, 0.0, cfg.nest_ny - 1.001)
-        (_, indz_n, dz1_n, h_n, trop_n, ust_n, wst_n, ol_n,
-         wind_n, _) = _sample_met(z0n, z1n, tw0, tw1, xtn, ytn, z, height,
-                                  cfg.nest_nx, cfg.nest_ny, False,
-                                  tables=tables_n)
-        sel_n = lambda a, b: jnp.where(in_nest, a, b)
-        h = sel_n(h_n, h)
-        tropop = sel_n(trop_n, tropop)
-        ust = sel_n(ust_n, ust)
-        wst = sel_n(wst_n, wst)
-        ol = sel_n(ol_n, ol)
-        wind = type(wind)(*[sel_n(a, b) for a, b in zip(wind_n, wind)])
+        for k, (nnx, nny) in enumerate(nshapes):
+            in_nest = ((x > prm.xln[k] + eps_n) & (x < prm.xrn[k] - eps_n)
+                       & (y > prm.yln[k] + eps_n)
+                       & (y < prm.yrn[k] - eps_n))
+            xtn = (x - prm.xln[k]) * prm.xresoln[k]
+            ytn = (y - prm.yln[k]) * prm.yresoln[k]
+            xtn = jnp.clip(xtn, 0.0, nnx - 1.001)
+            ytn = jnp.clip(ytn, 0.0, nny - 1.001)
+            (_, indz_n, dz1_n, h_n, trop_n, ust_n, wst_n, ol_n,
+             wind_n, _) = _sample_met(zn0_t[k], zn1_t[k], tw0, tw1,
+                                      xtn, ytn, z, height,
+                                      nnx, nny, False,
+                                      tables=tables_n[k])
+            sel_n = lambda a, b: jnp.where(in_nest, a, b)
+            h = sel_n(h_n, h)
+            tropop = sel_n(trop_n, tropop)
+            ust = sel_n(ust_n, ust)
+            wst = sel_n(wst_n, wst)
+            ol = sel_n(ol_n, ol)
+            wind = type(wind)(*[sel_n(a, b)
+                                for a, b in zip(wind_n, wind)])
     u, v, w = wind.u, wind.v, wind.w
 
     dt = prm.lsynctime
@@ -1041,15 +1067,16 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     else:
         u2, v2, w2 = interp_wind_short_paired(tables.packE, hw2, indz2,
                                               dz1_2)
-    if cfg.nest_nx:
-        in_nest2 = ((xn > prm.xln + eps_n) & (xn < prm.xrn - eps_n)
-                    & (yn > prm.yln + eps_n) & (yn < prm.yrn - eps_n))
-        xtn2 = jnp.clip((xn - prm.xln) * prm.xresoln, 0.0,
-                        cfg.nest_nx - 1.001)
-        ytn2 = jnp.clip((yn - prm.yln) * prm.yresoln, 0.0,
-                        cfg.nest_ny - 1.001)
-        hw2n = horiz_weights(xtn2, ytn2, cfg.nest_nx, cfg.nest_ny, False)
-        u2n, v2n, w2n = interp_wind_short_paired(tables_n.packE, hw2n,
+    for k, (nnx, nny) in enumerate(nshapes):
+        in_nest2 = ((xn > prm.xln[k] + eps_n) & (xn < prm.xrn[k] - eps_n)
+                    & (yn > prm.yln[k] + eps_n)
+                    & (yn < prm.yrn[k] - eps_n))
+        xtn2 = jnp.clip((xn - prm.xln[k]) * prm.xresoln[k], 0.0,
+                        nnx - 1.001)
+        ytn2 = jnp.clip((yn - prm.yln[k]) * prm.yresoln[k], 0.0,
+                        nny - 1.001)
+        hw2n = horiz_weights(xtn2, ytn2, nnx, nny, False)
+        u2n, v2n, w2n = interp_wind_short_paired(tables_n[k].packE, hw2n,
                                                  indz2, dz1_2)
         u2 = jnp.where(in_nest2, u2n, u2)
         v2 = jnp.where(in_nest2, v2n, v2)
@@ -1152,10 +1179,14 @@ def advance_chunked(p: Particles, z0: ZFields, z1: ZFields,
     mdt = jnp.bfloat16 if cfg.met_bf16 else jnp.float32
     tables = build_step_tables_paired(z0, z1, dt2 * dtt, dt1 * dtt,
                                       edt2 * edtt, edt1 * edtt, dtype=mdt)
-    tables_n = (build_step_tables_paired(z0n, z1n, dt2 * dtt, dt1 * dtt,
-                                         edt2 * edtt, edt1 * edtt,
-                                         dtype=mdt)
-                if cfg.nest_nx else None)
+    zn0_t = (tuple(z0n) if isinstance(z0n, (tuple, list))
+             else ((z0n,) if z0n is not None else ()))
+    zn1_t = (tuple(z1n) if isinstance(z1n, (tuple, list))
+             else ((z1n,) if z1n is not None else ()))
+    tables_n = (tuple(
+        build_step_tables_paired(a, b, dt2 * dtt, dt1 * dtt,
+                                 edt2 * edtt, edt1 * edtt, dtype=mdt)
+        for a, b in zip(zn0_t, zn1_t)) or None)
 
     def body(args):
         pi, i = args

@@ -370,7 +370,7 @@ def make_tiled_advance(mesh, cfg: StepConfig, ntx: int, nty: int,
     # routes trans-polar x jumps; only the Petterssen corrector is
     # skipped for cap-ending particles (advance.py can_pett gate)
     cfg_t = cfg._replace(nx=txh, ny=tyh, xglobal=False, tile_mode=True,
-                         nest_nx=0, nest_ny=0)
+                         nest_nx=0, nest_ny=0, nests=())
     rounds_x = ntx // 2 if cfg.polar else 1
     rounds_y = max(nty // 2, 1) if cfg.polar else 1
     p_specs = Particles(*[P((AX_TY, AX_TX))] * len(Particles._fields))

@@ -104,12 +104,11 @@ class Simulation:
         self.geo = OutputGridGeometry(self.outgrid, self.grid)
         nage = self.ageclasses.nageclass
 
-        # nested met grids (one nest level in the advance kernel)
-        self.nest_grid = None
-        if self.met_nests:
-            self.nest_grid = self.met_nests[0].grid
-            if len(self.met_nests) > 1:
-                log.warning("only the innermost met nest is used")
+        # nested met grids, outermost -> innermost (pathnames order,
+        # readpaths.f90:45-80); per-particle innermost selection happens
+        # in the advance kernel (advance.f90:167-175)
+        self.nest_grids = tuple(m.grid for m in self.met_nests)
+        self.nest_grid = self.nest_grids[0] if self.nest_grids else None
 
         # backward deposition modes (readcommand.f90:316-339)
         self.bkdep = (cmd.ind_receptor
@@ -138,8 +137,7 @@ class Simulation:
             ldirect=cmd.ldirect,
             turbswitch=cmd.turbswitch, ifine=cmd.ifine_eff,
             method=cmd.method, cblflag=cmd.cblflag == 1,
-            nest_nx=self.nest_grid.nx if self.nest_grid else 0,
-            nest_ny=self.nest_grid.ny if self.nest_grid else 0,
+            nests=tuple((g.nx, g.ny) for g in self.nest_grids),
             nspec=self.nspec,
             settling=lsettling and any_settle,
             turboff=self.turboff,
@@ -156,19 +154,17 @@ class Simulation:
             sp_cunningham=[c.cunningham if c else 0.0 for c in sp_scs],
             sp_vsetaver=[c.vsetaver if c else 0.0 for c in sp_scs],
             **(dict(
-                xln=(self.nest_grid.xlon0 - self.grid.xlon0)
-                / self.grid.dx,
-                yln=(self.nest_grid.ylat0 - self.grid.ylat0)
-                / self.grid.dy,
-                xrn=(self.nest_grid.xlon0
-                     + (self.nest_grid.nx - 1) * self.nest_grid.dx
-                     - self.grid.xlon0) / self.grid.dx,
-                yrn=(self.nest_grid.ylat0
-                     + (self.nest_grid.ny - 1) * self.nest_grid.dy
-                     - self.grid.ylat0) / self.grid.dy,
-                xresoln=self.grid.dx / self.nest_grid.dx,
-                yresoln=self.grid.dy / self.nest_grid.dy,
-            ) if self.nest_grid else {}),
+                xln=[(g.xlon0 - self.grid.xlon0) / self.grid.dx
+                     for g in self.nest_grids],
+                yln=[(g.ylat0 - self.grid.ylat0) / self.grid.dy
+                     for g in self.nest_grids],
+                xrn=[(g.xlon0 + (g.nx - 1) * g.dx - self.grid.xlon0)
+                     / self.grid.dx for g in self.nest_grids],
+                yrn=[(g.ylat0 + (g.ny - 1) * g.dy - self.grid.ylat0)
+                     / self.grid.dy for g in self.nest_grids],
+                xresoln=[self.grid.dx / g.dx for g in self.nest_grids],
+                yresoln=[self.grid.dy / g.dy for g in self.nest_grids],
+            ) if self.nest_grids else {}),
         )
         self.conc_cfg = ConcConfig(
             nxg=self.geo.nxg, nyg=self.geo.nyg, nzg=self.geo.nzg,
@@ -592,8 +588,8 @@ class Simulation:
         """Host-side met read+assembly for one wind time (the expensive,
         device-free part of getfields)."""
         eta = self.met_backend.fetch(float(tsec))
-        etan = (self.met_nests[0].fetch(float(tsec))
-                if self.nest_grid is not None else None)
+        etan = tuple(m.fetch(float(tsec)) for m in self.met_nests) \
+            if self.met_nests else None
         return eta, etan
 
     def _prefetch_async(self, tsec: int):
@@ -670,14 +666,18 @@ class Simulation:
             # nested met fields, processed onto the SAME height grid
             # (verttransform_nests.f90 contract)
             zn = None
-            if self.nest_grid is not None:
-                etan = (etan_pre if etan_pre is not None
-                        else self.met_nests[0].fetch(float(tsec)))
-                pvn = calcpv(self.nest_grid, etan)
-                zn = process_eta(self.nest_grid, etan, self._height,
-                                 pvh=pvn, use_clwc=self.use_clwc)
-                zn = calcpar(self.nest_grid, etan, zn,
-                             lsubgrid=bool(self.cmd.lsubgrid))
+            if self.met_nests:
+                etans = (etan_pre if etan_pre is not None
+                         else tuple(m.fetch(float(tsec))
+                                    for m in self.met_nests))
+                zn = []
+                for g, etan in zip(self.nest_grids, etans):
+                    pvn = calcpv(g, etan)
+                    znk = process_eta(g, etan, self._height,
+                                      pvh=pvn, use_clwc=self.use_clwc)
+                    zn.append(calcpar(g, etan, znk,
+                                      lsubgrid=bool(self.cmd.lsubgrid)))
+                zn = tuple(zn)
             zt = None
             if self._tiles is not None:
                 # host-side tiling + one placement per wind read (the
