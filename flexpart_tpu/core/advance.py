@@ -27,11 +27,11 @@ from ..met.fields import ZFields, F2_HMIX, F2_TROPO, F2_USTAR, F2_WSTAR, F2_OLI,
 from . import rng
 from .cbl import cbl_terms, reinit_wp
 from .hanna import hanna, hanna1
-from .interp import (HorizWeights, StepTablesPaired,
-                     build_step_tables_paired, gather_corners_3d,
-                     horiz_weights, sample_all_paired, vert_weights,
-                     interp_wind_legacy, interp_wind_short,
-                     interp_wind_short_paired, interp_2d,
+from .interp import (HorizWeights, StepTablesQuad,
+                     build_step_tables_quad, gather_corners_3d,
+                     horiz_weights, sample_all_quad, vert_weights,
+                     wind10_quad, interp_wind_legacy, interp_wind_short,
+                     interp_wind_short_quad, interp_2d,
                      gather_corners_2d_ln, hmix_max)
 from .state import Particles, ds_add
 
@@ -384,7 +384,6 @@ def _adaptive_interval(cfg: StepConfig, prm: StepParams, key,
     spent under 2*href for the deposition probability), nan count."""
     n = z.shape[0]
     legacy = leg is not None
-    ny_nx = cfg.ny * cfg.nx
     if legacy:
         tab = leg.table
         R = tab.shape[0] - 1
@@ -398,14 +397,8 @@ def _adaptive_interval(cfg: StepConfig, prm: StepParams, key,
             lev = (jnp.einsum("flnc,nc->fln", c0, hw.p4) * tw0
                    + jnp.einsum("flnc,nc->fln", c1, hw.p4) * tw1)
             val = lev[:, 0] * (1.0 - dz1) + lev[:, 1] * dz1
-        else:
-            flat = tables.packA.reshape(15, -1)[:10]
-            lin = indz[None] * ny_nx + hw.idx4.T
-            g = flat[:, lin].astype(jnp.float32)
-            lev0 = jnp.sum(g[0:10:2] * hw.p4.T, axis=1)
-            lev1 = jnp.sum(g[1:10:2] * hw.p4.T, axis=1)
-            val = lev0 * (1.0 - dz1) + lev1 * dz1
-        return val[0], val[1], val[2], val[3], val[4]
+            return val[0], val[1], val[2], val[3], val[4]
+        return wind10_quad(tables.rows, hw, indz, dz1, cfg.nx, cfg.ny)
 
     def wrap1(nr, need):
         return jnp.where(nr + need > R, 1, nr)
@@ -578,9 +571,9 @@ def _adaptive_interval(cfg: StepConfig, prm: StepParams, key,
         mb = wrap1(nrand, 2)
         rnd_m = jnp.stack([tab[mb], tab[mb + 1], tab[mb + 2]], 0)
     else:
-        _, _, _, _, _, wind_e = sample_all_paired(tables, hw_f, indz_f,
-                                                  dz1_f, zc * 0.0,
-                                                  zc * 0.0)
+        _, _, _, _, _, wind_e = sample_all_quad(tables, hw_f, indz_f,
+                                                dz1_f, zc * 0.0,
+                                                zc * 0.0, cfg.nx, cfg.ny)
         usig_e, vsig_e, wsig_e = wind_e.usig, wind_e.vsig, wind_e.wsig
         rnd_m = rng.normals(key, (3, n), tag=4)
 
@@ -657,16 +650,14 @@ def _polar_update(prm: StepParams, x, y, dxsave, dysave, ldirf, nxm):
 
 def _sample_met(zA: ZFields, zB: ZFields, tw0, tw1, x, y, z, height,
                 nx: int, ny: int, xglobal: bool, legacy: bool = False,
-                tables: StepTablesPaired | None = None):
+                tables: StepTablesQuad | None = None):
     """All met quantities the integrator needs at the particle, from one
     grid (mother or nest): the interpol_all/interpol_wind family.
 
-    Production path: EVERYTHING comes from one 4-index gather of the
-    per-step level-paired table (StepTablesPaired) — v5e gather cost is
-    ~linear in the per-particle index count and flat in slice height,
-    so stacking both bracketing levels and the 2-D quantities into the
-    slice axis halves the dominant advance cost vs the (level, corner)
-    8-index form.
+    Production path: EVERYTHING comes from ONE single-index row gather
+    of the per-step quad-corner table (StepTablesQuad) — each particle
+    fetches one contiguous 256-byte row holding its complete stencil
+    (see the measurement note on StepTablesQuad).
 
     With legacy=True the winds/sigmas use the reference-exact
     per-time-level interpolation and both sigma conventions (matched-RNG
@@ -677,9 +668,9 @@ def _sample_met(zA: ZFields, zB: ZFields, tw0, tw1, x, y, z, height,
     if not legacy:
         if tables is None:
             # endtime weights unused here; caller-facing fallback
-            tables = build_step_tables_paired(zA, zB, tw0, tw1, tw0, tw1)
-        h, tropop, ust, wst, ol, wind = sample_all_paired(
-            tables, hw, indz, dz1, x, y)
+            tables = build_step_tables_quad(zA, zB, tw0, tw1, tw0, tw1)
+        h, tropop, ust, wst, ol, wind = sample_all_quad(
+            tables, hw, indz, dz1, x, y, nx, ny)
         return hw, indz, dz1, h, tropop, ust, wst, ol, wind, None
     h = jnp.maximum(hmix_max(zA, zB, hw, F2_HMIX), 1.0)
     # tropopause: nearest grid point of the FIRST time level
@@ -704,8 +695,8 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
                 cfg: StepConfig, prm: StepParams,
                 z0n: ZFields | None = None, z1n: ZFields | None = None,
                 leg: LegacyRnd | None = None,
-                tables: StepTablesPaired | None = None,
-                tables_n: StepTablesPaired | None = None):
+                tables: StepTablesQuad | None = None,
+                tables_n: StepTablesQuad | None = None):
     """Advance every scheduled particle by one lsynctime interval.
 
     Returns (particles, diag).  Terminated-by-domain-exit particles get
@@ -745,12 +736,12 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     if not legacy:
         mdt = jnp.bfloat16 if cfg.met_bf16 else jnp.float32
         if tables is None:
-            tables = build_step_tables_paired(z0, z1, tw0, tw1, ew0, ew1,
-                                              dtype=mdt)
+            tables = build_step_tables_quad(z0, z1, tw0, tw1, ew0, ew1,
+                                            dtype=mdt)
         if nshapes and tables_n is None:
             tables_n = tuple(
-                build_step_tables_paired(zn0_t[k], zn1_t[k], tw0, tw1,
-                                         ew0, ew1, dtype=mdt)
+                build_step_tables_quad(zn0_t[k], zn1_t[k], tw0, tw1,
+                                       ew0, ew1, dtype=mdt)
                 for k in range(len(nshapes)))
         elif tables_n is not None and not isinstance(tables_n,
                                                      (tuple, list)):
@@ -1065,8 +1056,8 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
         u2, v2, w2 = interp_wind_short(z0, z1, hw2, indz2, dz1_2,
                                        ew0, ew1)
     else:
-        u2, v2, w2 = interp_wind_short_paired(tables.packE, hw2, indz2,
-                                              dz1_2)
+        u2, v2, w2 = interp_wind_short_quad(tables.rowsE, hw2, indz2,
+                                            dz1_2, cfg.nx, cfg.ny)
     for k, (nnx, nny) in enumerate(nshapes):
         in_nest2 = ((xn > prm.xln[k] + eps_n) & (xn < prm.xrn[k] - eps_n)
                     & (yn > prm.yln[k] + eps_n)
@@ -1076,8 +1067,8 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
         ytn2 = jnp.clip((yn - prm.yln[k]) * prm.yresoln[k], 0.0,
                         nny - 1.001)
         hw2n = horiz_weights(xtn2, ytn2, nnx, nny, False)
-        u2n, v2n, w2n = interp_wind_short_paired(tables_n[k].packE, hw2n,
-                                                 indz2, dz1_2)
+        u2n, v2n, w2n = interp_wind_short_quad(tables_n[k].rowsE, hw2n,
+                                               indz2, dz1_2, nnx, nny)
         u2 = jnp.where(in_nest2, u2n, u2)
         v2 = jnp.where(in_nest2, v2n, v2)
         w2 = jnp.where(in_nest2, w2n, w2)
@@ -1177,15 +1168,15 @@ def advance_chunked(p: Particles, z0: ZFields, z1: ZFields,
     edt2 = (memtime1 - endtime).astype(jnp.float32)
     edtt = 1.0 / jnp.maximum(edt1 + edt2, 1e-6)
     mdt = jnp.bfloat16 if cfg.met_bf16 else jnp.float32
-    tables = build_step_tables_paired(z0, z1, dt2 * dtt, dt1 * dtt,
-                                      edt2 * edtt, edt1 * edtt, dtype=mdt)
+    tables = build_step_tables_quad(z0, z1, dt2 * dtt, dt1 * dtt,
+                                    edt2 * edtt, edt1 * edtt, dtype=mdt)
     zn0_t = (tuple(z0n) if isinstance(z0n, (tuple, list))
              else ((z0n,) if z0n is not None else ()))
     zn1_t = (tuple(z1n) if isinstance(z1n, (tuple, list))
              else ((z1n,) if z1n is not None else ()))
     tables_n = (tuple(
-        build_step_tables_paired(a, b, dt2 * dtt, dt1 * dtt,
-                                 edt2 * edtt, edt1 * edtt, dtype=mdt)
+        build_step_tables_quad(a, b, dt2 * dtt, dt1 * dtt,
+                               edt2 * edtt, edt1 * edtt, dtype=mdt)
         for a, b in zip(zn0_t, zn1_t)) or None)
 
     def body(args):

@@ -355,6 +355,97 @@ def sample_all_paired(tables: StepTablesPaired, hw: HorizWeights,
     flat = tables.packA.reshape(15, nzp * ny * nx)
     lin = indz[None] * (ny * nx) + hw.idx4.T             # (4, N)
     g = flat[:, lin].astype(jnp.float32)                 # (15, 4, N)
+    return _reduce_stencil15(g, hw, dz1, x, y)
+
+
+class StepTablesQuad(NamedTuple):
+    """Per-step grid tables in QUAD-CORNER ROW layout: row r = (k, y, x)
+    carries every stencil quantity at ALL FOUR horizontal corners of
+    cell (y, x) and BOTH bracketing levels (k, k+1), packed into the
+    lane (minor) dimension.  One gather with ONE index per particle
+    fetches the complete interpolation stencil as a 256-byte contiguous
+    row — the access unit the HBM likes.
+
+    v5e measurement (scripts/bench_harness_check2.py, chained + d2h so
+    the relay can't elide work, per 512k-particle chunk): row L=64
+    1-index gather 6.2 ms vs 29.6 ms for the 4-index height-5/8 column
+    gathers (round-3 layout) and 49.8 ms for the 4-index height-15
+    paired column gather (which sits past the height>8 sublane-tile
+    cliff).  The 4x row duplication costs HBM capacity (~0.5 GB on the
+    REF1 grid) and one fused build pass per sync step — negligible next
+    to the per-chunk gather savings.
+
+    Lane order of `rows`: lane = q*4 + c, q in 0..14 over
+    (u0,u1,v0,v1,w0,w1,rho0,rho1,drho0,drho1, hmix-max, tropo(t0),
+    ustar_t, wstar_t, oli_t), c over corners (y,x),(y,x+1),(y+1,x),
+    (y+1,x+1); lanes 60-63 pad.  `rowsE`: endtime u,v,w pairs, lane =
+    q*4 + c, q in 0..5, lanes 24-31 pad."""
+    rows: jnp.ndarray    # (R, 64), R = (nz-1)*ny*nx
+    rowsE: jnp.ndarray   # (R, 32)
+
+
+def _corner_stack(a):
+    """(Q, nzp, ny, nx) -> (Q, 4, nzp, ny, nx): values at the 4 corners
+    of each cell.  x+1 via cyclic roll (for global grids the wrap column
+    duplicates column 0 anyway; for limited-area/tile grids the last
+    column's rows are never gathered because horiz_weights clips
+    ix <= nx-2).  y+1 clamps at the last row (same never-gathered
+    argument for jy = ny-1)."""
+    ax = jnp.roll(a, -1, axis=-1)
+    ay = jnp.concatenate([a[..., 1:, :], a[..., -1:, :]], axis=-2)
+    axy = jnp.roll(ay, -1, axis=-1)
+    return jnp.stack([a, ax, ay, axy], axis=1)
+
+
+def _rows_from_quads(q):
+    """(Q, 4, nzp, ny, nx) -> (nzp*ny*nx, Q*4 padded to a multiple of
+    32) with lane = q*4 + c."""
+    Q = q.shape[0]
+    nzp, ny, nx = q.shape[2:]
+    r = q.reshape(Q * 4, nzp * ny * nx).T                # (R, Q*4)
+    pad = (-(Q * 4)) % 32
+    if pad:
+        r = jnp.pad(r, ((0, 0), (0, pad)))
+    return r
+
+
+def build_step_tables_quad(z0: ZFields, z1: ZFields, tw0, tw1, ew0, ew1,
+                           dtype=jnp.float32) -> StepTablesQuad:
+    """One fused pass over the grid per sync interval, shared by every
+    particle chunk.  hmix takes the max over the two time levels here
+    (advance.f90:236-252); 2-D rows are broadcast down the k axis so
+    they ride the same single-index gather."""
+    from ..met.fields import F2_HMIX, F2_OLI, F2_TROPO, F2_USTAR, F2_WSTAR
+    f3dt = blend_wind_stack(z0, z1, tw0, tw1)            # (5, nz, ny, nx)
+    nz, ny, nx = f3dt.shape[1:]
+    pairA = jnp.stack([f3dt[:, :-1], f3dt[:, 1:]],
+                      axis=1).reshape(10, nz - 1, ny, nx)
+    sidx = jnp.asarray((F2_USTAR, F2_WSTAR, F2_OLI))
+    f2dt = z0.f2d[sidx] * tw0 + z1.f2d[sidx] * tw1
+    pack2d = jnp.concatenate([
+        jnp.maximum(z0.f2d[F2_HMIX], z1.f2d[F2_HMIX])[None],
+        z0.f2d[F2_TROPO][None],
+        f2dt,
+    ], axis=0)                                           # (5, ny, nx)
+    pack2b = jnp.broadcast_to(pack2d[:, None], (5, nz - 1, ny, nx))
+    a15 = jnp.concatenate([pairA, pack2b], axis=0)       # (15, nzp, ny, nx)
+    rows = _rows_from_quads(_corner_stack(a15)).astype(dtype)
+    idx3 = jnp.asarray((F3_U, F3_V, F3_W))
+    e3 = z0.f3d[idx3] * ew0 + z1.f3d[idx3] * ew1
+    pairE = jnp.stack([e3[:, :-1], e3[:, 1:]],
+                      axis=1).reshape(6, nz - 1, ny, nx)
+    rowsE = _rows_from_quads(_corner_stack(pairE)).astype(dtype)
+    return StepTablesQuad(rows=rows, rowsE=rowsE)
+
+
+def _cell_rowid(hw: HorizWeights, indz, nx: int, ny: int):
+    """Linear row id of the particle's cell in a (nzp, ny, nx) table."""
+    return indz * (ny * nx) + hw.jy * nx + hw.ix
+
+
+def _reduce_stencil15(g, hw: HorizWeights, dz1, x, y):
+    """Shared reduction of the (15, 4, N) gathered stencil (quad or
+    paired layout) to the interp_all/interp_wind quantities."""
     p4t = hw.p4.T                                        # (4, N)
     low = g[0:10:2]                                      # (5, 4, N) @ k
     high = g[1:10:2]                                     # (5, 4, N) @ k+1
@@ -373,7 +464,6 @@ def sample_all_paired(tables: StepTablesPaired, hw: HorizWeights,
     wind = WindInterp(u=val[0], v=val[1], w=val[2], rho=val[3],
                       drhodz=val[4], usig=sig[0], vsig=sig[1],
                       wsig=sig[2])
-    # 2-D quantities from the same gather (rows 10-14)
     h = jnp.maximum(jnp.max(g[10], axis=0), 1.0)
     ix_n = (x - hw.ix) >= 0.5
     iy_n = (y - hw.jy) >= 0.5
@@ -385,6 +475,45 @@ def sample_all_paired(tables: StepTablesPaired, hw: HorizWeights,
     oliaux = jnp.sum(g[14] * p4t, axis=0)
     ol = jnp.where(oliaux != 0.0, 1.0 / oliaux, 99999.0)
     return h, tropop, ust, wst, ol, wind
+
+
+def sample_all_quad(tables: StepTablesQuad, hw: HorizWeights,
+                    indz, dz1, x, y, nx: int, ny: int):
+    """Everything the PBL/FT integrator needs at the particle position
+    from ONE single-index row gather of the quad-corner table: returns
+    (h, tropop, ust, wst, ol, WindInterp) — the fused
+    interpol_all/interpol_wind + 2-D family."""
+    lin = _cell_rowid(hw, indz, nx, ny)                  # (N,)
+    g = tables.rows[lin].T.astype(jnp.float32)           # (64, N)
+    g = g[:60].reshape(15, 4, -1)
+    return _reduce_stencil15(g, hw, dz1, x, y)
+
+
+def wind10_quad(rows, hw: HorizWeights, indz, dz1, nx: int, ny: int):
+    """u,v,w,rho,drhodz only, from the quad table (the adaptive loop's
+    per-pass vertical re-interpolation at frozen horizontal stencil)."""
+    lin = _cell_rowid(hw, indz, nx, ny)
+    g = rows[lin].T.astype(jnp.float32)                  # (64, N)
+    g = g[:40].reshape(10, 4, -1)
+    p4t = hw.p4.T
+    lev0 = jnp.sum(g[0:10:2] * p4t, axis=1)
+    lev1 = jnp.sum(g[1:10:2] * p4t, axis=1)
+    val = lev0 * (1.0 - dz1) + lev1 * dz1
+    return val[0], val[1], val[2], val[3], val[4]
+
+
+def interp_wind_short_quad(rowsE, hw: HorizWeights, indz, dz1,
+                           nx: int, ny: int):
+    """Petterssen-corrector wind: one single-index row gather of the
+    endtime quad-corner table (interpol_wind_short.f90)."""
+    lin = _cell_rowid(hw, indz, nx, ny)
+    g = rowsE[lin].T.astype(jnp.float32)                 # (32, N)
+    g = g[:24].reshape(6, 4, -1)
+    p4t = hw.p4.T
+    lev0 = jnp.sum(g[0:6:2] * p4t, axis=1)               # (3, N)
+    lev1 = jnp.sum(g[1:6:2] * p4t, axis=1)
+    val = lev0 * (1.0 - dz1) + lev1 * dz1
+    return val[0], val[1], val[2]
 
 
 def interp_wind_short_paired(packE, hw: HorizWeights, indz, dz1):
