@@ -32,7 +32,8 @@ def main():
     from flexpart_tpu.config import OutGrid
     from flexpart_tpu.core import StepConfig, StepParams, advance_chunked
     from flexpart_tpu.core.state import empty_particles
-    from flexpart_tpu.grid.conccalc import ConcConfig, make_conccalc
+    from flexpart_tpu.grid.conccalc import (ConcConfig, kernel_possible_at,
+                                            make_conccalc)
     from flexpart_tpu.grid.outgrid import (OutputGridGeometry,
                                            zero_accumulators)
     from flexpart_tpu.met import (calcpar, compute_heights, make_grid,
@@ -82,22 +83,28 @@ def main():
 
     n_chunks = max(1, n // (2 ** 19))
 
-    def step(p, acc, itime, k):
+    def step(p, acc, itime, k, it_host):
         newp, diag = advance_chunked(p, z0, z0, itime, jnp.int32(0),
                                      jnp.int32(86400), k, cfg, prm, n_chunks)
+        # same host-side rule the production scheduler applies
+        # (Simulation._ccfg_at): single-index sampling until the plume
+        # can be 3 h old, 4-point kernel after
+        cc = ccfg._replace(
+            kernel_possible=kernel_possible_at(it_host + 900, 0))
         acc = conccalc(acc, newp, z0, itime + 900, lage,
-                       jnp.float32(1.0), ccfg)
+                       jnp.float32(1.0), cc)
         return newp, acc, diag
 
     # warmup/compile
-    p1, acc1, diag = step(p, acc, jnp.int32(0), jax.random.PRNGKey(1))
+    p1, acc1, diag = step(p, acc, jnp.int32(0), jax.random.PRNGKey(1), 0)
     jax.block_until_ready((p1, acc1))
 
     t0 = time.perf_counter()
     pc = p
     for i in range(N_STEPS):
         pc, acc, diag = step(pc, acc, jnp.int32(i * 900),
-                             jax.random.fold_in(jax.random.PRNGKey(2), i))
+                             jax.random.fold_in(jax.random.PRNGKey(2), i),
+                             i * 900)
     jax.block_until_ready((pc, acc))
     dt = time.perf_counter() - t0
 

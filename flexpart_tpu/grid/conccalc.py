@@ -41,6 +41,25 @@ class ConcConfig(NamedTuple):
     particle_count_output: bool = False
     bkdep: bool = False  # WET/DRYBKDEP: weight by max(xscav,0)
     #                      (conccalc.f90:181,230)
+    kernel_possible: bool = True
+    #: False when the caller can prove (host-side) that NO live particle
+    #: can be >= 3 h old, so the uniform kernel never triggers and one
+    #: scatter index per particle suffices — see kernel_possible_at().
+
+
+def kernel_possible_at(itime, first_release_time,
+                       use_kernel: bool = True) -> bool:
+    """Host-side: can ANY particle be >= 3 h old at itime?  Particle age
+    is |itra - itramem| and itramem is the release time, so the oldest
+    possible age is the elapsed time since the first release — pure host
+    arithmetic on the schedule (conccalc.f90:171 `itage > 10800` gate).
+    While this is False the sampler compiles the direct-only single-index
+    scatter; crossing 3 h triggers exactly one recompile."""
+    if not use_kernel:
+        return False
+    if first_release_time is None:
+        return True
+    return abs(int(itime) - int(first_release_time)) >= 10800
 
 
 def make_conccalc(outheights):
@@ -102,6 +121,34 @@ def _conccalc_impl(acc, p, zf, itime, lage, weight, cfg: ConcConfig,
                  | (xl > cfg.nxg - 1 - 0.5) | (yl > cfg.nyg - 1 - 0.5))
     direct = (not cfg.use_kernel) | (itage < 10800) | near_edge
 
+    kp = p.npoint if cfg.ioutputforeachrelease else jnp.zeros_like(p.npoint)
+    cell = (((nage_idx * cfg.nclassunc + p.nclass) * cfg.npointspec + kp)
+            * cfg.nzg + kz)
+
+    if not cfg.kernel_possible:
+        # ---- direct-only fast path: ONE scatter index per particle ----
+        # The caller asserts (host-side, from itime and the earliest
+        # release start) that no live particle can be >= 3 h old, so the
+        # uniform kernel can never trigger (conccalc.f90:171-178).
+        # v5e: scatter cost is linear in the index count (92 ms vs
+        # 340 ms per 10.5M-particle step, scripts/bench_scatter_ab.py),
+        # so the young-plume phase samples 3.5x faster.
+        in_grid = (ix >= 0) & (ix < cfg.nxg) & (jy >= 0) & (jy < cfg.nyg)
+        valid = live & in_z & in_grid
+        lin = cell * (cfg.nyg * cfg.nxg) + jy * cfg.nxg + ix
+        lin = jnp.where(valid, lin, 2 ** 30)
+        if cfg.particle_count_output:
+            contrib = jnp.ones((n, p.nspec), jnp.float32)
+        else:
+            contrib = p.mass / rhoi[:, None]
+            if cfg.bkdep:
+                contrib = contrib * jnp.maximum(p.xscav, 0.0)
+        contrib = jnp.where(valid[:, None], contrib * weight, 0.0)
+        flat = acc.gridunc.reshape(-1, p.nspec)
+        flat = flat.at[lin].add(contrib, mode="drop")
+        return acc._replace(gridunc=flat.reshape(acc.gridunc.shape),
+                            outnum=acc.outnum + weight)
+
     # uniform-kernel weights (conccalc.f90:203-220)
     ddx = xl - ix
     ddy = yl - jy
@@ -121,9 +168,6 @@ def _conccalc_impl(acc, p, zf, itime, lage, weight, cfg: ConcConfig,
     in_grid = (cx >= 0) & (cx < cfg.nxg) & (cy >= 0) & (cy < cfg.nyg)
     valid = live[:, None] & in_z[:, None] & in_grid & (w4 > 0)
 
-    kp = p.npoint if cfg.ioutputforeachrelease else jnp.zeros_like(p.npoint)
-    cell = (((nage_idx * cfg.nclassunc + p.nclass) * cfg.npointspec + kp)
-            * cfg.nzg + kz)
     lin = cell[:, None] * (cfg.nyg * cfg.nxg) + cy * cfg.nxg + cx
     lin = jnp.where(valid, lin, 2 ** 30)  # out-of-range -> dropped
 

@@ -178,6 +178,10 @@ class Simulation:
             bkdep=self.bkdep != 0,
         )
         self.conccalc = make_conccalc(self.outgrid.outheights)
+        # earliest scheduled release (s since bdate) when provable
+        # host-side; None (= kernel always possible) for warm starts,
+        # domain-filling and backward runs
+        self._first_release: int | None = None
         # nested output grid (outgrid_init_nest.f90 / concoutput_nest)
         self.use_nested_output = self.outgrid_nest is not None
         if self.use_nested_output:
@@ -238,6 +242,15 @@ class Simulation:
             if n_warm:
                 self.particles = self._append_warm_start(
                     self.particles, warm)
+            elif cmd.ldirect > 0 and self.releases.boxes:
+                # host-side bound on the oldest possible particle age:
+                # the sampling kernel (conccalc.f90:171 itage>10800)
+                # cannot trigger before first_release + 3 h, so the
+                # sampler runs its single-index fast path until then
+                # (grid/conccalc.py kernel_possible_at)
+                self._first_release = min(
+                    int((b.start - cmd.bdate).total_seconds())
+                    for b in self.releases.boxes)
         self.acc: Accumulators = zero_accumulators(
             self.geo, self.nspec, self.conc_cfg.npointspec,
             self.nclassunc, nage)
@@ -705,6 +718,17 @@ class Simulation:
         self._get_field(tsec)
         return self._buf[tsec][2]
 
+    def _ccfg_at(self, itime, base):
+        """Sampling config for this step: drops to the single-index
+        direct-only scatter while no particle can be >= 3 h old
+        (conccalc.f90:171; one recompile when the plume crosses 3 h)."""
+        from ..grid.conccalc import kernel_possible_at
+        kp = kernel_possible_at(itime, self._first_release,
+                                base.use_kernel)
+        if kp == base.kernel_possible:
+            return base
+        return base._replace(kernel_possible=kp)
+
     def _get_tiles(self, tsec: int):
         """Tiled field stack for this wind time (tiles mode only)."""
         self._get_field(tsec)
@@ -999,12 +1023,14 @@ class Simulation:
                                          sync=lambda: self.acc):
                     self.acc = self.conccalc(
                         self.acc, self.particles, z1s, jnp.int32(itime),
-                        self.lage, jnp.float32(weight), self.conc_cfg)
+                        self.lage, jnp.float32(weight),
+                        self._ccfg_at(itime, self.conc_cfg))
                     if self.use_nested_output:
                         self.acc_n = self.conccalc_n(
                             self.acc_n, self.particles, z1s,
                             jnp.int32(itime), self.lage,
-                            jnp.float32(weight), self.conc_cfg_n)
+                            jnp.float32(weight),
+                            self._ccfg_at(itime, self.conc_cfg_n))
                     if self.receptor_set is not None:
                         self.creceptor = sample_receptors(
                             self.creceptor, self.receptor_set,
@@ -1048,7 +1074,8 @@ class Simulation:
                            else z1)
                     self.acc = self.conccalc(
                         self.acc, self.particles, z1s, jnp.int32(itime),
-                        self.lage, jnp.float32(0.5), self.conc_cfg)
+                        self.lage, jnp.float32(0.5),
+                        self._ccfg_at(itime, self.conc_cfg))
 
             if itime == ideltas:
                 break
