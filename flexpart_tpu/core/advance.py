@@ -68,16 +68,16 @@ class StepConfig(NamedTuple):
     tile_mode: bool = False     # domain-decomposed tile step: positions
     #                             are tile-local, BCs/exits are applied
     #                             GLOBALLY by the caller (parallel/domain)
-    met_bf16: bool = False      # store the per-step blended 3-D stacks in
-    #                             bfloat16 (~0.4% wind rounding, widened
-    #                             to f32 right after the gather).
-    #                             Measured on v5e: a net LOSS for the
-    #                             (5, nz*ny*nx) stack — bf16 tiles as
-    #                             (16,128) so the 5-row table pads 3.2x
-    #                             and the gather slows down (58.5ms vs
-    #                             55.7ms per 512k chunk); kept as an
-    #                             option for larger field stacks where
-    #                             HBM capacity matters
+    met_bf16: bool = True       # store the per-step quad-corner row
+    #                             tables in bfloat16 (~0.4% wind
+    #                             rounding, widened to f32 right after
+    #                             the gather).  v5e: the row gather is
+    #                             granularity-bound, so 128-byte bf16
+    #                             rows fetch ~2x faster than 256-byte
+    #                             f32 rows (bench 12.0 -> 13.9M
+    #                             psteps/s); also halves the tables'
+    #                             HBM footprint.  Set False for f32
+    #                             interpolation (validation studies)
 
 
 class StepParams(NamedTuple):

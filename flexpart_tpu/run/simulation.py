@@ -93,6 +93,16 @@ class Simulation:
     turboff: bool = False            # disable all stochastic terms (the
     #                                  reference's TURB_OPTION=0 debug
     #                                  switch); deterministic paths only
+    met_bf16: bool = True            # bfloat16 per-step interpolation
+    #                                  tables (StepConfig.met_bf16, ~2x
+    #                                  on the gather-bound advance);
+    #                                  False = f32 interpolation, needed
+    #                                  when two differently-compiled
+    #                                  programs must produce bit-equal
+    #                                  trajectories (XLA excess-precision
+    #                                  can elide the bf16 rounding in one
+    #                                  fusion context and keep it in
+    #                                  another)
     profile: bool = False            # named-section device timing table
     #                                  (mpif_mtime analog; utils/profile)
     trace_dir: str | None = None     # capture a jax.profiler trace here
@@ -141,6 +151,7 @@ class Simulation:
             nspec=self.nspec,
             settling=lsettling and any_settle,
             turboff=self.turboff,
+            met_bf16=self.met_bf16,
         )
         self.step_prm = StepParams.make(
             dx=self.grid.dx, dy=self.grid.dy, ylat0=self.grid.ylat0,
