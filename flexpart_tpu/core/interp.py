@@ -379,9 +379,9 @@ class StepTablesQuad(NamedTuple):
     (u0,u1,v0,v1,w0,w1,rho0,rho1,drho0,drho1, hmix-max, tropo(t0),
     ustar_t, wstar_t, oli_t), c over corners (y,x),(y,x+1),(y+1,x),
     (y+1,x+1); lanes 60-63 pad.  `rowsE`: endtime u,v,w pairs, lane =
-    q*4 + c, q in 0..5, lanes 24-31 pad."""
+    q*4 + c, q in 0..5, lanes 24-63 pad."""
     rows: jnp.ndarray    # (R, 64), R = (nz-1)*ny*nx
-    rowsE: jnp.ndarray   # (R, 32)
+    rowsE: jnp.ndarray   # (R, 64), lanes 24-63 pad (see _rows_from_quads)
 
 
 def _corner_stack(a):
@@ -399,11 +399,17 @@ def _corner_stack(a):
 
 def _rows_from_quads(q):
     """(Q, 4, nzp, ny, nx) -> (nzp*ny*nx, Q*4 padded to a multiple of
-    32) with lane = q*4 + c."""
+    64) with lane = q*4 + c.
+
+    Padding to 64 (not 32) lanes matters: XLA gives the row gather of a
+    64-lane table the fast {1,0} result layout, while a 32-lane table's
+    gather materialized a transposed {0,1} result and ran 2.3x slower
+    than the 64-lane gather on v5e (profiled at bench scale) despite
+    moving half the bytes."""
     Q = q.shape[0]
     nzp, ny, nx = q.shape[2:]
     r = q.reshape(Q * 4, nzp * ny * nx).T                # (R, Q*4)
-    pad = (-(Q * 4)) % 32
+    pad = (-(Q * 4)) % 64
     if pad:
         r = jnp.pad(r, ((0, 0), (0, pad)))
     return r
@@ -507,7 +513,7 @@ def interp_wind_short_quad(rowsE, hw: HorizWeights, indz, dz1,
     """Petterssen-corrector wind: one single-index row gather of the
     endtime quad-corner table (interpol_wind_short.f90)."""
     lin = _cell_rowid(hw, indz, nx, ny)
-    g = rowsE[lin].T.astype(jnp.float32)                 # (32, N)
+    g = rowsE[lin].T.astype(jnp.float32)                 # (64, N)
     g = g[:24].reshape(6, 4, -1)
     p4t = hw.p4.T
     lev0 = jnp.sum(g[0:6:2] * p4t, axis=1)               # (3, N)

@@ -58,33 +58,28 @@ def main():
 
     files = glob.glob(os.path.join(tmp, "**", "*.xplane.pb"),
                       recursive=True)
-    print("trace files:", files)
     pd = jax.profiler.ProfileData.from_file(files[0])
-    agg = collections.Counter()
-    total = 0.0
+    per_op = collections.Counter()
+    meta = {}
     for plane in pd.planes:
-        if "TPU" not in plane.name and "tpu" not in plane.name:
+        if "TPU" not in plane.name:
             continue
         for line in plane.lines:
-            if "XLA Op" not in line.name and "Ops" not in line.name \
-                    and "op" not in line.name.lower():
+            if line.name != "XLA Ops":
                 continue
             for ev in line.events:
-                dur = ev.duration_ns
-                name = ev.name
-                # strip uniquifying suffixes
-                base = name.split(".")[0]
-                agg[base] += dur
-                total += dur
-    print(f"total op time: {total/1e6:.1f} ms over 3 steps")
-    for name, dur in agg.most_common(30):
-        print(f"{dur/1e6:9.2f} ms  {name}")
-    # also dump plane/line names for debugging
-    print("\nplanes/lines:")
-    for plane in pd.planes:
-        lines = [l.name for l in plane.lines]
-        print(" ", plane.name, "->", lines[:6], "..." if len(lines) > 6
-              else "")
+                per_op[ev.name] += ev.duration_ns
+                for st in ev.stats:
+                    try:
+                        if "source" in str(st.name).lower():
+                            meta[ev.name] = str(st.value)[:90]
+                    except Exception:
+                        pass
+    total = sum(per_op.values())
+    print(f"sum of XLA Ops events: {total/1e6:.1f} ms over 3 steps "
+          f"(2M particles, 4 chunks)")
+    for name, dur in per_op.most_common(35):
+        print(f"{dur/1e6:9.2f} ms  {name[:70]:70s} {meta.get(name, '')}")
 
 
 if __name__ == "__main__":
