@@ -164,7 +164,8 @@ AX_TX = "tx"
 
 def _pack(p: Particles, mask, m: int):
     """First-m masked particles into a fixed-size message buffer.
-    Returns (msg Particles of length m, valid (m,), sent (N,))."""
+    Returns (msg Particles of length m, valid (m,), sent (N,),
+    slot (N,) — each sent particle's message-buffer index)."""
     rank = jnp.cumsum(mask) - 1
     can = mask & (rank < m)
     slot = jnp.where(can, rank, m)
@@ -173,7 +174,7 @@ def _pack(p: Particles, mask, m: int):
                             ).at[slot].set(a, mode="drop"), p)
     valid = jnp.zeros(m, bool).at[jnp.where(can, slot, m)].set(
         True, mode="drop")
-    return msg, valid, can
+    return msg, valid, can, slot
 
 
 def _deactivate(p: Particles, sent):
@@ -183,7 +184,8 @@ def _deactivate(p: Particles, sent):
 
 def _merge(p: Particles, msg: Particles, valid):
     """Scatter valid incoming particles into free slots (prefix-rank
-    matching, same pattern as core/split.py)."""
+    matching, same pattern as core/split.py).  Returns the merged
+    buffer and the (m,) mask of incoming slots actually placed."""
     n = p.capacity
     free = (~p.active) & ((p.itra == ITRA_INACTIVE)
                           | (p.itra != p.itramem))
@@ -200,23 +202,36 @@ def _merge(p: Particles, msg: Particles, valid):
     for name in Particles._fields:
         arr = getattr(p, name)
         out[name] = arr.at[slot].set(getattr(msg, name), mode="drop")
-    merged = Particles(**out)
-    n_dropped = jnp.sum(valid) - jnp.sum(granted)
-    return merged, n_dropped
+    return Particles(**out), granted
 
 
 def _exchange(p: Particles, off, axis: str, sign: int, m: int):
-    """Send particles with tile offset ``sign`` one step along ``axis``."""
+    """Send particles with tile offset ``sign`` one step along ``axis``.
+
+    Two-phase so a full destination NEVER loses particles
+    (mpi_mod.f90's counted sends have the same guarantee): the receiver
+    merges what fits and ppermutes the per-slot grant mask back; only
+    granted particles are deactivated at the sender.  Denied particles
+    stay active on the sender (in its halo) and retry — next round,
+    next step, or after the Simulation-level regroup rebalance.  The
+    receiver's free-slot count excludes its own outgoing particles
+    (their grant is unknown at merge time), so two full tiles swapping
+    particles defer one step instead of deadlocking or dropping."""
     n_ax = lax.axis_size(axis)
     mask = p.active & (off == sign)
-    msg, valid, sent = _pack(p, mask, m)
-    p = _deactivate(p, sent)
+    msg, valid, sent, mslot = _pack(p, mask, m)
     perm = [(i, (i + sign) % n_ax) for i in range(n_ax)]
+    inv = [((i + sign) % n_ax, i) for i in range(n_ax)]
     msg_r = jax.tree.map(lambda a: lax.ppermute(a, axis, perm), msg)
     valid_r = lax.ppermute(valid, axis, perm)
-    p, n_drop = _merge(p, msg_r, valid_r)
+    p, granted_r = _merge(p, msg_r, valid_r)
+    granted_back = lax.ppermute(granted_r, axis, inv)      # (m,)
+    placed = sent & jnp.pad(granted_back, (0, 1))[
+        jnp.clip(mslot, 0, m)]
+    p = _deactivate(p, placed)
+    n_denied = jnp.sum(sent & ~placed)
     n_stuck = jnp.sum(mask & ~sent)      # message buffer overflow
-    return p, n_drop + n_stuck
+    return p, n_denied + n_stuck
 
 
 def migrate_local(p: Particles, ntx: int, nty: int, tx: int, ty: int,

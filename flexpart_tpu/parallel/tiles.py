@@ -290,6 +290,26 @@ class TiledEngine:
                                               self.sharding)
                             for k, v in tiled.items()})
 
+    def regroup(self, p: Particles, new_cap: int) -> Particles:
+        """Dynamic rebalance (mpif_calculate_part_redist /
+        mpif_redist_part, mpi_mod.f90:566-658): re-group every
+        schedulable slot by its CURRENT owning tile at a larger per-tile
+        capacity.  Host-side and rare — invoked only when migration
+        keeps deferring particles because a hot tile is full, so the
+        occasional gather + recompile beats losing physics to an
+        indefinitely-parked particle.  Particles stuck in a foreign
+        tile's halo land back on their owner here."""
+        from .domain import FieldTiles
+        ftdims = FieldTiles(tiles=jnp.zeros(1), x0=jnp.zeros(1),
+                            y0=jnp.zeros(1), ntx=self.ntx, nty=self.nty,
+                            tx=self.tx, ty=self.ty, halo=self.halo)
+        src = {k: np.asarray(getattr(p, k)) for k in Particles._fields}
+        tiled = shard_by_tile_scheduled(src, ftdims, new_cap)
+        self.local_cap = new_cap
+        return Particles(**{k: jax.device_put(jnp.asarray(v),
+                                              self.sharding)
+                            for k, v in tiled.items()})
+
 
 def shard_by_tile_scheduled(p_np: dict, ft, local_cap: int):
     """Tile-major grouping of ALL schedulable slots (active now or

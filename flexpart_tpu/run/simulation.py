@@ -90,6 +90,12 @@ class Simulation:
     #           between steps (parallel/tiles.py)
     distributed: str | None = None
     n_devices: int | None = None     # cap the mesh size (default: all)
+    tile_local_cap: int | None = None  # per-tile particle slots in
+    #                                  "tiles" mode (default: planned
+    #                                  from the release assignment,
+    #                                  plan_tile_capacity); too-small
+    #                                  values trigger the dynamic
+    #                                  regroup-at-2x rebalance
     turboff: bool = False            # disable all stochastic terms (the
     #                                  reference's TURB_OPTION=0 debug
     #                                  switch); deterministic paths only
@@ -382,6 +388,7 @@ class Simulation:
         # ----- distributed mode (timemanager_mpi.f90 analog) -----
         self._mesh = None
         self._tiles = None
+        self._tile_defer_streak = 0
         if self.distributed == "tiles":
             # domain-decomposed met fields + tile-owned particles
             # (SURVEY §2.8 "met-field domain decomposition"; the full
@@ -430,7 +437,8 @@ class Simulation:
             self._tiles = eng
             self._mesh = mesh
             if self.particles is not None:
-                self.particles = eng.shard_initial(self.particles)
+                self.particles = eng.shard_initial(self.particles,
+                                                   self.tile_local_cap)
             self.acc = zero_tile_acc_partials(
                 mesh, self.geo, self.nspec, self.conc_cfg.npointspec,
                 self.nclassunc, nage)
@@ -1111,6 +1119,18 @@ class Simulation:
                     log.warning("tile migration deferred %d particles "
                                 "(hot tile near capacity %d)",
                                 int(n_unplaced), self._tiles.local_cap)
+                    self._tile_defer_streak += 1
+                    if self._tile_defer_streak >= 2:
+                        # persistent hot tile: dynamic rebalance at 2x
+                        # capacity (mpif_calculate_part_redist analog)
+                        new_cap = self._tiles.local_cap * 2
+                        log.warning("tile rebalance: regrouping at "
+                                    "local capacity %d", new_cap)
+                        self.particles = self._tiles.regroup(
+                            self.particles, new_cap)
+                        self._tile_defer_streak = 0
+                else:
+                    self._tile_defer_streak = 0
             else:
                 z0n = self._get_nest(mt0) if self.nest_grid else None
                 z1n = self._get_nest(mt1) if self.nest_grid else None

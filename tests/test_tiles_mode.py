@@ -140,3 +140,60 @@ def test_plan_tile_capacity_hotspot():
                         rng.uniform(0, 18, 100)])
     cap = plan_tile_capacity(x, y, np.ones_like(x, bool), 4, 2, 9, 9)
     assert cap >= 1000 * 1.5
+
+
+def test_tiled_dynamic_rebalance(tmp_path):
+    """Runtime capacity escape valve (mpif_calculate_part_redist,
+    mpi_mod.f90:566-658 analog): a uniform eastward wind advects one
+    release into the tile holding a second release that starts at the
+    explicit per-tile capacity.  Migration must defer (not lose) the
+    incomers, the Simulation must regroup at 2x capacity after the
+    deferral streak, and the final ensemble must match the serial run."""
+    from flexpart_tpu.met import uniform_wind_met
+
+    grid = make_grid(nx=37, ny=18, nlev=15, dx=10.0, dy=10.0)
+    cmd = Command(ibdate=20200101, ibtime=0, iedate=20200101,
+                  ietime=30000, lsynctime=900, loutstep=3600,
+                  loutaver=3600, loutsample=900, lconvection=0)
+    # tile mesh on 8 devices is (nty=2, ntx=4): tx=ty=9 cells = 90 deg,
+    # x-boundary between tiles (1,0) and (1,1) at lon -90
+    box_in = ReleaseBox(idate1=20200101, itime1=0, idate2=20200101,
+                        itime2=0, lon1=-93.0, lon2=-91.0,
+                        lat1=30.0, lat2=50.0, z1=500.0, z2=1000.0,
+                        mass=(1.0,), parts=24)
+    box_hot = ReleaseBox(idate1=20200101, itime1=0, idate2=20200101,
+                         itime2=0, lon1=-88.0, lon2=-80.0,
+                         lat1=30.0, lat2=50.0, z1=500.0, z2=1000.0,
+                         mass=(1.0,), parts=24)
+    rel = Releases(species=(Species(),), boxes=(box_in, box_hot))
+    og = OutGrid(outlon0=-120.0, outlat0=0.0, numxgrid=30, numygrid=30,
+                 dxout=2.0, dyout=2.0, outheights=(2000.0, 50000.0))
+
+    def mk(outdir, **kw):
+        return Simulation(cmd=cmd, releases=rel, grid=grid,
+                          met_backend=uniform_wind_met(grid, u=100.0),
+                          outgrid=og, outdir=str(outdir), seed=5,
+                          turboff=True, write_netcdf=False,
+                          met_bf16=False, **kw)
+
+    sim_s = mk(tmp_path / "serial")
+    sim_s.run()
+    sim_t = mk(tmp_path / "tiles", distributed="tiles",
+               tile_local_cap=26)
+    sim_t.run()
+
+    assert sim_t._tiles.local_cap >= 52, "rebalance must have grown cap"
+    act_s = int(np.asarray(sim_s.particles.active).sum())
+    act_t = int(np.asarray(sim_t.particles.active).sum())
+    assert act_t == act_s == 48, "no particle may be lost to a full tile"
+
+    def ensemble(sim):
+        act = np.asarray(sim.particles.active)
+        cols = np.stack([np.asarray(sim.particles.x)[act],
+                         np.asarray(sim.particles.y)[act],
+                         np.asarray(sim.particles.z)[act],
+                         np.asarray(sim.particles.mass)[act, 0]])
+        return cols[:, np.lexsort(cols)]
+
+    np.testing.assert_allclose(ensemble(sim_t), ensemble(sim_s),
+                               rtol=2e-4, atol=1e-4)
