@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..constants import D_STRAT, D_TROP, GA, PI180, R_EARTH, TURBMESOSCALE
 from ..met.fields import ZFields, F2_HMIX, F2_TROPO, F2_USTAR, F2_WSTAR, F2_OLI, F3_TT, F3_RHO
 from . import rng
-from .cbl import cbl_terms, reinit_wp
+from .cbl import cbl_terms, init_cbl_wp, legacy_reinit_wp, reinit_wp
 from .hanna import hanna, hanna1
 from .interp import (HorizWeights, StepTablesQuad,
                      build_step_tables_quad, gather_corners_3d,
@@ -142,6 +142,11 @@ class LegacyRnd(NamedTuple):
     table: jnp.ndarray        # (maxrand+1,) f32, [0] unused
     nrand_init: jnp.ndarray   # (n,) i32 base for initialize.f90 draws
     nrand: jnp.ndarray        # (n,) i32 base for advance.f90 draws
+    #: CBL matched mode only: the initialize_cbl_vel.f90 ran3/gasdev
+    #: draws for fresh convective-PBL particles, pre-drawn host-side in
+    #: reference chain order (None outside cblflag runs)
+    cbl_dcas: jnp.ndarray | None = None    # (n,) uniform ran3
+    cbl_dcas1: jnp.ndarray | None = None   # (n,) gasdev gaussian
 
 
 def _legacy_draws(leg: LegacyRnd, cfg: StepConfig, pbl, in_trop, in_trans):
@@ -183,7 +188,10 @@ def _legacy_draws(leg: LegacyRnd, cfg: StepConfig, pbl, in_trop, in_trans):
     mb = jnp.where(pbl, pbl_meso, ft_meso)       # mesoscale (727)
     mb = jnp.where(mb + 2 > R, 1, mb)
     rnd_m = jnp.stack([tab[mb], tab[mb + 1], tab[mb + 2]], 0)
-    return rnd_i, rnd_h, rnd_w, rnd_ft, rnd_m
+    # bases for the CBL matched mode: b2 seeds the in-loop per-particle
+    # nrand chase of _pbl_vertical; ft_meso stays valid for non-PBL
+    # particles whose consumption the CBL branch never touches
+    return rnd_i, rnd_h, rnd_w, rnd_ft, rnd_m, (b2, ft_meso)
 
 
 class StepDiag(NamedTuple):
@@ -258,11 +266,20 @@ def _reflect_pbl(z, delz, h):
 
 
 def _pbl_vertical(cfg: StepConfig, prm: StepParams, z, wp, icbt, h, ust, wst,
-                  ol, rho, drhodz, rnd_w, dt, key=None):
+                  ol, rho, drhodz, rnd_w, dt, key=None, legacy_cbl=None):
     """The ifine vertical Langevin substeps (advance.f90:396-498).
-    Returns (z, wp, icbt, turb-at-final-z).  With cfg.cblflag, wp is the
-    RAW vertical velocity and the skewed bi-Gaussian drift applies in
-    strongly convective columns (-h/L > 5, advance.f90:405-442).
+    Returns (z, wp, icbt, turb-at-final-z, nan_mask, nrand).  With
+    cfg.cblflag, wp is the RAW vertical velocity and the skewed
+    bi-Gaussian drift applies in strongly convective columns
+    (-h/L > 5, advance.f90:405-442).
+
+    legacy_cbl: optional (table, nrand) for matched-RNG CBL mode — the
+    CBL branch consumes rannumb entries per particle with the
+    reference's in-loop `nrand=nrand+1` chase (including the
+    re_initialize retry loop and the weak-zone NaN redraw), and the
+    final per-particle nrand is returned so the caller can base the
+    mesoscale draws on it (advance.f90:499 skips the static
+    `nrand=nrand+i` advance when cblflag=1).
 
     `dtftlw` (and everything derived from it: the decay factor rw, the
     random-increment scale, and the linearized-vs-exact branch choice)
@@ -283,18 +300,39 @@ def _pbl_vertical(cfg: StepConfig, prm: StepParams, z, wp, icbt, h, ust, wst,
     rnd_exact = jnp.sqrt(jnp.maximum(1.0 - rw * rw, 0.0))
     rnd_lin = jnp.sqrt(2.0 * dtftlw)
     use_lin = dtftlw < 0.5
+    if legacy_cbl is not None:
+        tab, nrand = legacy_cbl
+        Rtab = tab.shape[0] - 1
+    else:
+        tab = nrand = None
     for i in range(cfg.ifine):
         if cfg.cblflag:
             icbtf = icbt.astype(jnp.float32)
             cbl_zone = (-h / ol) > 5.0
+            if tab is not None:
+                # advance.f90:411/426: nrand=nrand+1 then read, in both
+                # the skewed and the weak-Gaussian branch — but only on
+                # the dtftlw<0.5 path; the dtftlw>=0.5 quirk branch
+                # below reads statically at nrand+i without advancing
+                nrand = jnp.where(use_lin, nrand + 1, nrand)
+                dmain = tab[jnp.clip(nrand, 1, Rtab)]
+            else:
+                dmain = rnd_w[i]
             ath_c, bth_c, rein = cbl_terms(
                 wp, z, wst, h, rho, drhodz, turb.sigw, turb.dsigwdz,
                 turb.tlw, ol, cfg.ldirect)
             wp_c = (wp + ath_c * dtf
-                    + bth_c * rnd_w[i] * jnp.sqrt(dtf)) * icbtf
-            rr = rng.normals(key, (2, n), tag=40 + i)
-            wp_re = reinit_wp(rr[0], rr[1], wp, z, wst, h, turb.sigw,
-                              turb.dsigwdz, ol, cfg.ldirect)
+                    + bth_c * dmain * jnp.sqrt(dtf)) * icbtf
+            if tab is not None:
+                wp_re, idx_re = legacy_reinit_wp(
+                    tab, nrand, wp, z, wst, h, turb.sigw, turb.dsigwdz,
+                    ol, cfg.ldirect)
+                nrand = jnp.where(use_lin & cbl_zone & rein, idx_re,
+                                  nrand)
+            else:
+                rr = rng.normals(key, (2, n), tag=40 + i)
+                wp_re = reinit_wp(rr[0], rr[1], wp, z, wst, h, turb.sigw,
+                                  turb.dsigwdz, ol, cfg.ldirect)
             wp_c = jnp.where(rein, wp_re, wp_c)
             # weakly convective: Gaussian drift on the raw velocity
             # (advance.f90:425-442)
@@ -303,13 +341,35 @@ def _pbl_vertical(cfg: StepConfig, prm: StepParams, z, wp, icbt, h, ust, wst,
                      + wp * wp / sig * turb.dsigwdz
                      + sig * sig / rho * drhodz)
             wp_g = (wp + ath_g * dtf
-                    + sig * rnd_w[i] * rnd_lin) * icbtf
+                    + sig * dmain * rnd_lin) * icbtf
             wp_new = jnp.where(cbl_zone, wp_c, wp_g)
             # NaN safety net (advance.f90:435-441 nan_count2 redraw)
             nonfin = ~jnp.isfinite(wp_new)
-            nan_mask = nan_mask | nonfin
-            wp_new = jnp.where(nonfin, sig * rnd_w[i], wp_new)
+            nan_mask = nan_mask | (nonfin & use_lin)
+            if tab is not None:
+                # the reference redraw exists only in the weak branch
+                # and consumes one entry (advance.f90:436-441); mirror
+                # its consumption exactly
+                redraw = nonfin & ~cbl_zone & use_lin
+                nrand = jnp.where(redraw, nrand + 1, nrand)
+                dnan = tab[jnp.clip(nrand, 1, Rtab)]
+                wp_new = jnp.where(redraw, sig * dnan, wp_new)
+            else:
+                wp_new = jnp.where(nonfin, sig * dmain, wp_new)
             delz = wp_new * dtf
+            # dtftlw >= 0.5 falls through to the exact-OU NORMALIZED
+            # update even when cblflag=1, with wp still raw m/s — a
+            # reference units quirk (advance.f90:403,446-455 nest the
+            # CBL option inside `dtftlw<0.5` only) that real CBL runs
+            # hit wherever tlw is small near the ground; bug-compatible
+            # by design so matched validation covers real configs.
+            # Draws come from the static rnd_w stack (rannumb(nrand+i),
+            # chase untouched).
+            wp_q = (rw * wp + rnd_w[i] * rnd_exact
+                    + turb.tlw * (1.0 - rw)
+                    * (turb.dsigwdz + rhoaux * turb.sigw)) * icbtf
+            wp_new = jnp.where(use_lin, wp_new, wp_q)
+            delz = jnp.where(use_lin, delz, wp_q * turb.sigw * dtf)
         elif cfg.turbswitch:
             # Gaussian branch (advance.f90:446-455); wp normalized by sigw
             lin = ((1.0 - dtftlw) * wp + rnd_w[i] * rnd_lin
@@ -335,7 +395,7 @@ def _pbl_vertical(cfg: StepConfig, prm: StepParams, z, wp, icbt, h, ust, wst,
             turb = hanna(z, h, ust, wst, ol) if (cfg.turbswitch
                                                  or cfg.cblflag) \
                 else hanna1(z, h, ust, wst, ol)
-    return z, wp, icbt, turb, nan_mask
+    return z, wp, icbt, turb, nan_mask, nrand
 
 
 def _ldt_formula(cfg: StepConfig, prm: StepParams, turb, wp, h):
@@ -442,7 +502,7 @@ def _adaptive_interval(cfg: StepConfig, prm: StepParams, key,
         else:
             rnd_w = rng.normals(kk, (cfg.ifine, n), tag=2)
             nrand3 = nrand2
-        z2, wp2, icbt2, turb_f, nm = _pbl_vertical(
+        z2, wp2, icbt2, turb_f, nm, _ = _pbl_vertical(
             cfg, prm, zc, wpc, icbtc, h, ust, wst, ol, rhoa, drho,
             rnd_w, dt_i, key=kk)
         nan_acc = nan_acc + jnp.sum((nm & act).astype(jnp.int32))
@@ -709,6 +769,10 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     n = p.capacity
     scheduled = p.active
     legacy = leg is not None
+    if legacy and cfg.cblflag and cfg.method == 1:
+        raise NotImplementedError(
+            "matched-RNG CBL validation is fixed-step only (the "
+            "adaptive legacy chase assumes static in-loop consumption)")
     # nested met grids, outermost -> innermost (advance.f90:161-175)
     nshapes = (cfg.nests if cfg.nests
                else ((cfg.nest_nx, cfg.nest_ny),) if cfg.nest_nx else ())
@@ -793,8 +857,9 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     in_trans = (~in_trop) & (z < tropop + 1000.0)
 
     if legacy:
-        (l_rnd_i, l_rnd_h, l_rnd_w, l_rnd_ft,
-         l_rnd_m) = _legacy_draws(leg, cfg, pbl, in_trop, in_trans)
+        (l_rnd_i, l_rnd_h, l_rnd_w, l_rnd_ft, l_rnd_m,
+         (l_b2, l_ft_meso)) = _legacy_draws(leg, cfg, pbl, in_trop,
+                                            in_trans)
         # above-PBL/PBL sigma conventions (interpol_wind.f90 16-sample
         # vs interpol_all.f90 per-level 8-sample)
         usig_w = jnp.where(pbl, wind.usig, sig16[0])
@@ -817,7 +882,23 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
         else hanna1(z, h, ust, wst, ol)
     up_i = jnp.where(pbl, rnd_i[0] * turb_i.sigu, rnd_i[0] * 0.3)
     vp_i = jnp.where(pbl, rnd_i[1] * turb_i.sigv, rnd_i[1] * 0.3)
-    wp_raw = rnd_i[2] if cfg.turbswitch else rnd_i[2] * turb_i.sigw
+    if cfg.cblflag:
+        # initialize.f90:139-150: raw wp; skewed draw in strongly
+        # convective columns (initialize_cbl_vel.f90), Gaussian*sigw
+        # otherwise
+        if legacy and leg.cbl_dcas is not None:
+            dcas, dcas1 = leg.cbl_dcas, leg.cbl_dcas1
+        else:
+            dcas = rng.uniforms(key, (n,), tag=7)
+            dcas1 = rng.normals(key, (n,), tag=8)
+        wp_cbl = init_cbl_wp(dcas, dcas1, z, wst, h, turb_i.sigw,
+                             turb_i.dsigwdz, ol, cfg.ldirect)
+        wp_raw = jnp.where((-h / ol) > 5.0, wp_cbl,
+                           rnd_i[2] * turb_i.sigw)
+    elif cfg.turbswitch:
+        wp_raw = rnd_i[2]
+    else:
+        wp_raw = rnd_i[2] * turb_i.sigw
     wp_i = jnp.where(pbl, wp_raw, 0.0)
     if cfg.turboff:
         up_i = jnp.zeros_like(up_i)
@@ -925,9 +1006,11 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
             up_pbl = jnp.zeros_like(up_pbl)
             vp_pbl = jnp.zeros_like(vp_pbl)
 
-        z_pbl, wp_pbl, icbt, _, nan_mask = _pbl_vertical(
+        z_pbl, wp_pbl, icbt, _, nan_mask, nrand_end = _pbl_vertical(
             cfg, prm, z, p.wp, p.cbt, h, ust, wst, ol, wind.rho,
-            wind.drhodz, rnd_w, dt, key=key)
+            wind.drhodz, rnd_w, dt, key=key,
+            legacy_cbl=((leg.table, l_b2)
+                        if (legacy and cfg.cblflag) else None))
         daw_pbl = up_pbl * dt
         dcw_pbl = vp_pbl * dt
 
@@ -986,7 +1069,20 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
         pett_gate = True
 
         # ------------ mesoscale draws (advance.f90:720-738) ------------
-        rnd_m = l_rnd_m if legacy else rng.normals(key, (3, n), tag=4)
+        if legacy and cfg.cblflag:
+            # cblflag skips the static post-loop advance
+            # (advance.f90:499), so the meso base for PBL particles is
+            # the last in-loop index consumed — the first meso draw
+            # REUSES that entry, exactly like the Fortran
+            tab_m = leg.table
+            Rm = tab_m.shape[0] - 1
+            mb = jnp.where(pbl, nrand_end, l_ft_meso)
+            mb = jnp.where(mb + 2 > Rm, 1, mb)
+            rnd_m = jnp.stack([tab_m[mb], tab_m[mb + 1],
+                               tab_m[mb + 2]], 0)
+        else:
+            rnd_m = l_rnd_m if legacy else rng.normals(key, (3, n),
+                                                       tag=4)
     r = jnp.exp(-2.0 * prm.lsynctime / prm.lwindinterv)
     rs = jnp.sqrt(1.0 - r * r)
     usig_new = r * p.usig + rs * rnd_m[0] * usig_w * TURBMESOSCALE

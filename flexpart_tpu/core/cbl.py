@@ -136,6 +136,49 @@ def cbl_terms(wp, z, wst, h, rhoa, rhograd, sigw, dsigwdz, tlw, ol,
     return ath, bth, flagrein
 
 
+def init_cbl_wp(dcas, dcas1, z, wst, h, sigw, dsigwdz, ol, ldirect: int):
+    """Fresh-particle raw vertical velocity from the skewed bi-Gaussian
+    pdf (initialize_cbl_vel.f90): `dcas` (uniform) picks the up/downdraft
+    population by area weight, `dcas1` (gaussian) draws within it."""
+    timedir = float(ldirect)
+    (alu, blu, _, _, sa, sb, _, _, wa, wb, _, _) = _skew_params(
+        z, h, wst, sigw, dsigwdz, ol)
+    return jnp.where(dcas <= alu, dcas1 * sa + wa,
+                     dcas1 * sb - wb) * timedir
+
+
+def legacy_reinit_wp(tab, nrand, wp_old, z, wst, h, sigw, dsigwdz, ol,
+                     ldirect: int, tries: int = 12):
+    """Matched-RNG redraw (re_initialize_particle.f90): consume table
+    entries from nrand+1 onward until the drawn velocity keeps the
+    up/downdraft sign, exactly mirroring the Fortran goto loop (bounded
+    at `tries`; the acceptance probability per try is ~0.5 so 12 tries
+    leave ~2^-12 residual, and the matched tests assert the oracle
+    never exceeds the bound).  Returns (wp, nrand_after) where
+    nrand_after is the last index consumed."""
+    timedir = float(ldirect)
+    (alu, blu, _, _, sa, sb, _, _, wa, wb, _, _) = _skew_params(
+        z, h, wst, sigw, dsigwdz, ol)
+    R = tab.shape[0] - 1
+    # Fortran sign(1.,wp)*timedir: sign(1.,0.) is +1
+    updraft = jnp.where(wp_old >= 0.0, 1.0, -1.0) * timedir > 0.0
+    idx = nrand + 1
+    done = jnp.zeros_like(updraft)
+    wp = jnp.zeros_like(wp_old)
+    for _ in range(tries):
+        dcas = tab[jnp.clip(idx, 1, R)]
+        cand = jnp.where(updraft, dcas * sa + wa, dcas * sb - wb)
+        ok = jnp.where(updraft, cand >= 0.0, cand <= 0.0)
+        take = ok & ~done
+        wp = jnp.where(take, cand, wp)
+        idx = jnp.where(done | ok, idx, idx + 1)
+        done = done | ok
+    # bound exhausted (prob ~2^-tries): keep the sign like reinit_wp
+    wp = jnp.where(done, wp,
+                   jnp.where(updraft, jnp.abs(wp_old), -jnp.abs(wp_old)))
+    return wp * timedir, idx
+
+
 def reinit_wp(rnd, rnd2, wp_old, z, wst, h, sigw, dsigwdz, ol,
               ldirect: int):
     """Redraw wp from the skewed pdf keeping the up/downdraft sign

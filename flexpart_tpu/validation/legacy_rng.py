@@ -154,6 +154,31 @@ class NrandStream:
     def __init__(self, seed: int = -7, maxrand: int = MAXRAND):
         self.ran3 = Ran3(seed)
         self.maxrand = maxrand
+        self._gset = np.float32(0.0)   # gasdev pair cache
+        self._iset = 0
 
     def next_nrand(self) -> int:
         return int(self.ran3() * np.float32(self.maxrand - 1)) + 1
+
+    def uniform(self) -> np.float32:
+        """One ran3 draw from the shared chain (initialize_cbl_vel.f90
+        `dcas=ran3(idum)`)."""
+        return self.ran3()
+
+    def gasdev(self) -> np.float32:
+        """random_mod.f90:45-67 `gasdev`: UNclipped polar Box-Muller
+        with the Fortran's iset pair cache, over the shared chain."""
+        if self._iset == 0:
+            while True:
+                v1 = np.float32(2.0) * self.ran3() - np.float32(1.0)
+                v2 = np.float32(2.0) * self.ran3() - np.float32(1.0)
+                r = v1 * v1 + v2 * v2
+                if not (r >= 1.0 or r == 0.0):
+                    break
+            fac = np.float32(math.sqrt(-2.0 * math.log(float(r))
+                                       / float(r)))
+            self._gset = np.float32(v1 * fac)
+            self._iset = 1
+            return np.float32(v2 * fac)
+        self._iset = 0
+        return self._gset

@@ -58,6 +58,10 @@ class OracleParams:
     # adaptive per-particle time stepping (method=1, ctl>0;
     # readcommand.f90:378-384); forward runs only
     method: int = 0
+    # skewed CBL scheme (CBLFLAG=1, advance.f90:405-442, cbl.f90,
+    # re_initialize_particle.f90, initialize_cbl_vel.f90); requires
+    # turbswitch, fixed-step (method=0)
+    cblflag: bool = False
     ctl: float = -5.0
     mintime: int = 1
     # constant dry-deposition velocity [m/s] for the in-loop deposition
@@ -411,6 +415,217 @@ def _settling(prm: OracleParams, itp: _Interp, xt, yt, zt):
     return settl
 
 
+# ---------------------------------------------------------------------------
+# CBL skewed scheme: scalar f32 transcriptions of cbl.f90,
+# re_initialize_particle.f90 and initialize_cbl_vel.f90
+# ---------------------------------------------------------------------------
+
+_USURAD2 = f32(0.7071067812)
+_USURAD2P = f32(0.3989422804)
+_CBL_C0 = f32(3.0)
+_COSTLUAR4 = f32(0.66667)
+_EPS_C = f32(0.000001)
+
+
+def _cbrt(x):
+    return f32(math.copysign(abs(float(x)) ** (1.0 / 3.0), float(x)))
+
+
+def _cbl_transition(h, ol):
+    if -h / ol < 15.0:
+        return f32(math.sin(((-float(h) / float(ol)) + 10.0) / 10.0
+                            * math.pi) / 2.0 + 0.5)
+    return f32(1.0)
+
+
+def _cbl_reduced(zp, wst, h, sigw, ol):
+    """The reduced bi-Gaussian parameter set of
+    re_initialize_particle.f90:48-73 / initialize_cbl_vel.f90:49-75
+    (no derivatives, xluarw = sqrt(rluarw)).  Returns
+    (aluarw, sigmawa, sigmawb, wa, wb)."""
+    z = f32(zp / h)
+    transition = _cbl_transition(h, ol)
+    w2 = f32(sigw * sigw)
+    w3 = f32((f32(1.2) * z * f32((1.0 - z) ** 1.5) + _EPS_C)
+             * wst ** 3 * transition)
+    skew = f32(w3 / w2 ** 1.5)
+    skew2 = f32(skew * skew)
+    radw2 = f32(math.sqrt(w2))
+    fluarw = f32(_COSTLUAR4 * skew ** f32(0.333333333333333))
+    fluarw2 = f32(fluarw * fluarw)
+    rluarw = f32((1.0 + fluarw2) ** 3 * skew2
+                 / ((3.0 + fluarw2) ** 2 * fluarw2))
+    xluarw = f32(math.sqrt(rluarw))
+    aluarw = f32(0.5 * (1.0 - xluarw / math.sqrt(4.0 + rluarw)))
+    bluarw = f32(1.0 - aluarw)
+    sigmawa = f32(radw2 * math.sqrt(bluarw / (aluarw * (1.0 + fluarw2))))
+    sigmawb = f32(radw2 * math.sqrt(aluarw / (bluarw * (1.0 + fluarw2))))
+    wa = f32(fluarw * sigmawa)
+    wb = f32(fluarw * sigmawb)
+    return aluarw, sigmawa, sigmawb, wa, wb
+
+
+def _cbl_scalar(wp, zp, ust, wst, h, rhoa, rhograd, sigw, dsigwdz, tlw,
+                ol, ldirect):
+    """cbl.f90: drift ath, diffusion bth, and the 6-sigma outlier flag.
+    Full derivative chain, f32."""
+    timedir = f32(ldirect)
+    dens, ddens = rhoa, rhograd
+    z = f32(zp / h)
+    transition = _cbl_transition(h, ol)
+    w2 = f32(sigw * sigw)
+    dw2 = f32(2.0 * sigw * dsigwdz)
+    alfa = f32(2.0 * w2 / (_CBL_C0 * tlw))
+    wold = f32(timedir * wp)
+    w3 = f32((f32(1.2) * z * f32((1.0 - z) ** 1.5) + _EPS_C)
+             * wst ** 3 * transition)
+    dw3 = f32(f32(1.2) * (f32((1.0 - z) ** 1.5)
+                          + z * f32(1.5) * f32((1.0 - z) ** 0.5)
+                          * f32(-1.0)) * wst ** 3 * f32(1.0 / h)
+              * transition)
+    skew = f32(w3 / w2 ** 1.5)
+    skew2 = f32(skew * skew)
+    dskew = f32((dw3 * w2 ** 1.5 - w3 * 1.5 * w2 ** 0.5 * dw2) / w2 ** 3)
+    radw2 = f32(w2 ** 0.5)
+    dradw2 = f32(0.5 * w2 ** (-0.5) * dw2)
+    fluarw = f32(_COSTLUAR4 * _cbrt(skew))
+    fluarw2 = f32(fluarw * fluarw)
+    if skew != 0.0:
+        dfluarw = f32(_COSTLUAR4 * (1.0 / 3.0) * _cbrt(skew ** -2.0)
+                      * dskew)
+        rluarw = f32((1.0 + fluarw2) ** 3 * skew2
+                     / ((3.0 + fluarw2) ** 2 * fluarw2))
+        xluarw = f32((1.0 + fluarw2) ** 1.5 * skew
+                     / ((3.0 + fluarw2) * fluarw))
+        drluarw = f32((
+            ((3.0 * (1.0 + fluarw2) ** 2 * (2.0 * fluarw * dfluarw)
+              * skew2)
+             + (1.0 + fluarw2) ** 3 * 2.0 * skew * dskew)
+            * (3.0 + fluarw2) ** 2 * fluarw2
+            - (1.0 + fluarw2) ** 3 * skew2
+            * ((2.0 * (3.0 + fluarw2) * (2.0 * fluarw * dfluarw)
+                * fluarw2)
+               + (3.0 + fluarw2) ** 2 * 2.0 * fluarw * dfluarw))
+            / ((3.0 + fluarw2) ** 2 * fluarw2) ** 2)
+        dxluarw = f32((
+            ((1.5 * (1.0 + fluarw2) ** 0.5 * (2.0 * fluarw * dfluarw)
+              * skew)
+             + (1.0 + fluarw2) ** 1.5 * dskew)
+            * (3.0 + fluarw2) * fluarw
+            - (1.0 + fluarw2) ** 1.5 * skew
+            * (3.0 * dfluarw + 3.0 * fluarw2 * dfluarw))
+            / ((3.0 + fluarw2) * fluarw) ** 2)
+    else:
+        dfluarw = rluarw = drluarw = xluarw = dxluarw = f32(0.0)
+
+    aluarw = f32(0.5 * (1.0 - xluarw / (4.0 + rluarw) ** 0.5))
+    bluarw = f32(1.0 - aluarw)
+    daluarw = f32(-0.5 * ((dxluarw * (4.0 + rluarw) ** 0.5)
+                          - (0.5 * xluarw * (4.0 + rluarw) ** (-0.5)
+                             * drluarw)) / (4.0 + rluarw))
+    dbluarw = f32(-daluarw)
+    sigmawa = f32(radw2 * (bluarw / (aluarw * (1.0 + fluarw2))) ** 0.5)
+    sigmawb = f32(radw2 * (aluarw / (bluarw * (1.0 + fluarw2))) ** 0.5)
+    dsigmawa = f32(
+        dradw2 * (bluarw / (aluarw * (1.0 + fluarw2))) ** 0.5
+        + radw2 * ((0.5 * (bluarw / (aluarw * (1.0 + fluarw2))) ** -0.5)
+                   * ((dbluarw * (aluarw * (1.0 + fluarw2))
+                       - bluarw * (daluarw * (1.0 + fluarw2)
+                                   + aluarw * 2.0 * fluarw * dfluarw))
+                      / (aluarw * (1.0 + fluarw2)) ** 2)))
+    dsigmawb = f32(
+        dradw2 * (aluarw / (bluarw * (1.0 + fluarw2))) ** 0.5
+        + radw2 * ((0.5 * (aluarw / (bluarw * (1.0 + fluarw2))) ** -0.5)
+                   * ((daluarw * (bluarw * (1.0 + fluarw2))
+                       - aluarw * (dbluarw * (1.0 + fluarw2)
+                                   + bluarw * 2.0 * fluarw * dfluarw))
+                      / (bluarw * (1.0 + fluarw2)) ** 2)))
+    wa = f32(fluarw * sigmawa)
+    wb = f32(fluarw * sigmawb)
+    dwa = f32(dfluarw * sigmawa + fluarw * dsigmawa)
+    dwb = f32(dfluarw * sigmawb + fluarw * dsigmawb)
+    deltawa = f32(wold - wa)
+    deltawb = f32(wold + wb)
+    wold2 = f32(wold * wold)
+    sigmawa2 = f32(sigmawa * sigmawa)
+    sigmawb2 = f32(sigmawb * sigmawb)
+    flagrein = (abs(deltawa) > 6.0 * sigmawa
+                and abs(deltawb) > 6.0 * sigmawb)
+    pa = f32(_USURAD2P * (1.0 / sigmawa)
+             * math.exp(-(0.5 * (deltawa / sigmawa) ** 2)))
+    pb = f32(_USURAD2P * (1.0 / sigmawb)
+             * math.exp(-(0.5 * (deltawb / sigmawb) ** 2)))
+    ptot = f32(dens * aluarw * pa + dens * bluarw * pb)
+    aperfa = f32(deltawa * _USURAD2 / sigmawa)
+    aperfb = f32(deltawb * _USURAD2 / sigmawb)
+    phi = f32(
+        -0.5 * (aluarw * dens * dwa + dens * wa * daluarw
+                + aluarw * wa * ddens) * math.erf(aperfa)
+        + sigmawa * (aluarw * dens * dsigmawa * (wold2 / sigmawa2 + 1.0)
+                     + sigmawa * dens * daluarw
+                     + sigmawa * ddens * aluarw
+                     + aluarw * wold * dens / sigmawa2
+                     * (sigmawa * dwa - wa * dsigmawa)) * pa
+        + 0.5 * (bluarw * dens * dwb + wb * dens * dbluarw
+                 + wb * bluarw * ddens) * math.erf(aperfb)
+        + sigmawb * (bluarw * dens * dsigmawb * (wold2 / sigmawb2 + 1.0)
+                     + sigmawb * dens * dbluarw
+                     + sigmawb * ddens * bluarw
+                     + bluarw * wold * dens / sigmawb2
+                     * (-sigmawb * dwb + wb * dsigmawb)) * pb)
+    q = f32(timedir * ((aluarw * dens * deltawa / sigmawa2) * pa
+                       + (bluarw * dens * deltawb / sigmawb2) * pb))
+    ath = f32((1.0 / ptot) * (-(_CBL_C0 / 2.0) * alfa * q + phi))
+    bth = f32(math.sqrt(_CBL_C0 * alfa))
+    return ath, bth, flagrein
+
+
+def _reinit_scalar(prm, table, nrand, zt, wst, h, sigw, ol, wp_old,
+                   stream=None):
+    """re_initialize_particle.f90: redraw wp from the skewed pdf keeping
+    the up/downdraft sign; consumes table entries from nrand+1 until
+    accepted.  Returns (wp, nrand)."""
+    R = prm.maxrand
+    nrand += 1
+    dcas1 = table[min(nrand, R)]
+    alu, sa, sb, wa, wb = _cbl_reduced(zt, wst, h, sigw, ol)
+    timedir = f32(prm.ldirect)
+    s = f32(1.0) if wp_old >= 0.0 else f32(-1.0)
+    tries = 0
+    if s * timedir > 0:                       # updraft
+        while True:
+            wp = f32(dcas1 * sa + wa)
+            if wp >= 0.0 or tries > 100:
+                break
+            nrand += 1
+            tries += 1
+            dcas1 = table[min(nrand, R)]
+    else:                                     # downdraft
+        while True:
+            wp = f32(dcas1 * sb - wb)
+            if wp <= 0.0 or tries > 100:
+                break
+            nrand += 1
+            tries += 1
+            dcas1 = table[min(nrand, R)]
+    if stream is not None:
+        stream.cbl_max_retries = max(
+            getattr(stream, "cbl_max_retries", 0), tries)
+    return f32(wp * timedir), nrand
+
+
+def _init_cbl_scalar(prm, stream: NrandStream, zt, wst, h, sigw, ol):
+    """initialize_cbl_vel.f90: fresh-particle raw wp from the skewed
+    pdf; consumes dcas (ran3) + dcas1 (gasdev) from the shared chain."""
+    alu, sa, sb, wa, wb = _cbl_reduced(zt, wst, h, sigw, ol)
+    timedir = f32(prm.ldirect)
+    dcas = stream.uniform()
+    dcas1 = stream.gasdev()
+    if dcas <= alu:
+        return f32(timedir * (dcas1 * sa + wa))
+    return f32(timedir * (dcas1 * sb - wb))
+
+
 def oracle_initialize(prm: OracleParams, itp: _Interp, stream: NrandStream,
                       table, xt, yt, zt):
     """initialize.f90: turbulent + mesoscale velocity init for a fresh
@@ -432,6 +647,13 @@ def oracle_initialize(prm: OracleParams, itp: _Interp, stream: NrandStream,
         wp = table[nrand + 2]
         if not prm.turbswitch:
             wp = wp * t.sigw
+        elif prm.cblflag:
+            # initialize.f90:142-149
+            if -h / ol > 5.0:
+                wp = _init_cbl_scalar(prm, stream, zt, wst, h, t.sigw,
+                                      ol)
+            else:
+                wp = f32(wp * t.sigw)
         if prm.method == 1:
             # initial adaptive step (initialize.f90:155-162)
             if prm.turbswitch:
@@ -559,7 +781,53 @@ def oracle_advance(prm: OracleParams, itp: _Interp, stream: NrandStream,
 
             # vertical Langevin, ifine substeps (advance.f90:396-498)
             for i in range(1, prm.ifine + 1):
-                if prm.turbswitch:
+                if prm.turbswitch and prm.cblflag:
+                    # CBL branch (advance.f90:405-442); wp is RAW m/s
+                    if not dtftlw < 0.5:
+                        # reference units quirk: dtftlw>=0.5 falls into
+                        # the exact-OU NORMALIZED update with raw wp
+                        # (advance.f90:446-455), static nrand+i reads,
+                        # chase untouched
+                        rw = f32(math.exp(-dtftlw))
+                        wp = f32((rw * wp
+                                  + table[nrand + i]
+                                  * f32(math.sqrt(1.0 - rw * rw))
+                                  + t.tlw * (f32(1.0) - rw)
+                                  * (t.dsigwdz + rhoaux * t.sigw))
+                                 * f32(icbt))
+                        delz = wp * t.sigw * dtf
+                    elif -h / ol > 5.0:
+                        nrand += 1
+                        old_wp = wp
+                        ath, bth, flagrein = _cbl_scalar(
+                            wp, zt, ust, wst, h, rhoa, rhograd, t.sigw,
+                            t.dsigwdz, t.tlw, ol, prm.ldirect)
+                        wp = f32((wp + ath * dtf
+                                  + bth * table[min(nrand, R)]
+                                  * f32(math.sqrt(dtf))) * f32(icbt))
+                        delz = wp * dtf
+                        if flagrein:
+                            wp, nrand = _reinit_scalar(
+                                prm, table, nrand, zt, wst, h, t.sigw,
+                                ol, old_wp, stream=stream)
+                            delz = wp * dtf
+                    else:
+                        # weakly convective Gaussian on raw wp
+                        # (advance.f90:425-442)
+                        nrand += 1
+                        sig = t.sigw
+                        ath = f32(-wp / t.tlw + sig * t.dsigwdz
+                                  + wp * wp / sig * t.dsigwdz
+                                  + sig * sig / rhoa * rhograd)
+                        bth = f32(sig * table[min(nrand, R)]
+                                  * f32(math.sqrt(2.0 * dtftlw)))
+                        wp = f32((wp + ath * dtf + bth) * f32(icbt))
+                        delz = wp * dtf
+                        if math.isnan(wp) or math.isinf(wp):
+                            nrand += 1
+                            wp = f32(sig * table[min(nrand, R)])
+                            delz = wp * dtf
+                elif prm.turbswitch:
                     if dtftlw < 0.5:
                         wp = ((f32(1.0) - dtftlw) * wp
                               + table[nrand + i]
@@ -599,7 +867,11 @@ def oracle_advance(prm: OracleParams, itp: _Interp, stream: NrandStream,
                     # hanna_short refresh (advance.f90:494-496)
                     t = _hanna(zt, h, ust, wst, ol) if prm.turbswitch \
                         else _hanna1(zt, h, ust, wst, ol)
-            nrand += prm.ifine + 1      # Fortran do-loop leaves i=ifine+1
+            if not prm.cblflag:
+                # Fortran do-loop leaves i=ifine+1 (advance.f90:499
+                # skips this advance when cblflag=1: the meso draws
+                # then REUSE the last in-loop entry)
+                nrand += prm.ifine + 1
 
             # next adaptive step (advance.f90:504-511)
             if prm.method == 1:

@@ -74,12 +74,17 @@ def _start_positions(n):
 
 def _run_kernel_legacy(grid, z0, z1, x, y, z, nsteps, cfg, prm,
                        seed=SEED, memtime=MEMTIME, itime0=0, stream=None,
-                       p=None, first=True):
+                       p=None, first=True, cbl_probe=None):
     """Drive advance_all in legacy-RNG mode, drawing the per-particle
     nrand bases host-side in the reference's consumption order
     (timemanager.f90:553-611: per particle, initialize-then-advance at
     the release step, advance only afterwards).  Pass stream/p back in
-    to continue across wind intervals."""
+    to continue across wind intervals.
+
+    cbl_probe: OracleParams for cblflag runs — the harness then mirrors
+    initialize_cbl_vel.f90's dcas/dcas1 chain draws for fresh particles
+    in strongly convective PBL columns (the branch condition is probed
+    host-side with the oracle's interpolator on the same met)."""
     n = len(x)
     if p is None:
         p = empty_particles(n, nspec=cfg.nspec)
@@ -101,15 +106,38 @@ def _run_kernel_legacy(grid, z0, z1, x, y, z, nsteps, cfg, prm,
         active = np.asarray(p.active)
         ni = np.ones(n, np.int64)
         na = np.ones(n, np.int64)
+        dcas = np.zeros(n, np.float32)
+        dcas1 = np.zeros(n, np.float32)
+        if cbl_probe is not None and k == 0:
+            from flexpart_tpu.validation.oracle import _Interp
+            itp0 = _Interp(cbl_probe, _NpZ(z0), _NpZ(z1),
+                           itime0, memtime)
+        xs, ys, zs = (np.asarray(p.x_hi, np.float64),
+                      np.asarray(p.y_hi, np.float64),
+                      np.asarray(p.z, np.float64))
         for j in range(n):
             if not active[j]:
                 continue                  # terminated: consumes nothing
             if k == 0:
                 ni[j] = stream.next_nrand()
+                if cbl_probe is not None:
+                    # initialize.f90:142-149 chain consumption mirror
+                    ix, jy, ixp, jyp, _, _, _ = itp0.corners(xs[j], ys[j])
+                    h = max(itp0.hmix_max(ix, jy, ixp, jyp), 1.0)
+                    if zs[j] / h <= 1.0:
+                        _, _, ol, _, _, _, _ = itp0.profiles(
+                            xs[j], ys[j], np.float32(zs[j]))
+                        if -h / ol > 5.0:
+                            dcas[j] = stream.uniform()
+                            dcas1[j] = stream.gasdev()
             na[j] = stream.next_nrand()
         leg = LegacyRnd(table=table,
                         nrand_init=jnp.asarray(ni, jnp.int32),
-                        nrand=jnp.asarray(na, jnp.int32))
+                        nrand=jnp.asarray(na, jnp.int32),
+                        cbl_dcas=(jnp.asarray(dcas)
+                                  if cbl_probe is not None else None),
+                        cbl_dcas1=(jnp.asarray(dcas1)
+                                   if cbl_probe is not None else None))
         p, diag = advance_all(p, z0, z1, jnp.int32(itime),
                               jnp.int32(memtime[0]), jnp.int32(memtime[1]),
                               key, cfg, prm, leg=leg)
@@ -320,3 +348,53 @@ def test_matched_across_wind_intervals(met_setup):
     _compare(traj1 + traj2,
              [np.asarray(t, np.float64) for t in trace1 + trace2],
              nstops, atol_xy=2e-2, atol_z=5.0)
+
+
+def _make_convective(zf, split_x=30):
+    """Patch the 2-D diagnostics to a strong-CBL state: hmix=1500 m,
+    wstar=1.8 m/s, L=-25 m (-h/L=60, skewed branch) east of x=split_x
+    and L=-1200 m (-h/L=1.25, weak-Gaussian branch) west of it."""
+    from flexpart_tpu.met.fields import F2_HMIX, F2_OLI, F2_WSTAR
+    f2 = np.array(np.asarray(zf.f2d))
+    ny, nx = f2.shape[-2:]
+    oli = np.full((ny, nx), 1.0 / -1200.0, np.float32)
+    oli[:, split_x:] = 1.0 / -25.0
+    f2[F2_HMIX] = 1500.0
+    f2[F2_WSTAR] = 1.8
+    f2[F2_OLI] = oli
+    return zf._replace(f2d=jnp.asarray(f2))
+
+
+def test_matched_positions_cbl(met_setup):
+    """Skewed CBL scheme (CBLFLAG=1): the kernel's masked bi-Gaussian
+    drift + re_initialize retry loop + weak-zone Gaussian-raw branch
+    against the scalar cbl.f90/re_initialize_particle.f90 oracle under
+    bitwise-shared rannumb/ran3 streams, including the fresh-particle
+    initialize_cbl_vel draw and the reference's meso-draw-base quirk
+    (advance.f90:499 skips the static nrand advance when cblflag=1)."""
+    grid, z0, z1, height = met_setup
+    z0c, z1c = _make_convective(z0), _make_convective(z1)
+    # ifine=8 -> dtf=112 s: particles near the PBL top (tlw ~ 270 s)
+    # take the skewed dtftlw<0.5 path, lower ones (tlw <= 220 s) the
+    # reference's dtftlw>=0.5 normalized-update quirk branch — real CBL
+    # runs mix both, so the matched test does too
+    cfg, prm, oprm = _params(grid, True, 8)
+    cfg = cfg._replace(cblflag=True)
+    oprm.cblflag = True
+    n = 24
+    rs = np.random.RandomState(11)
+    # half in the weak-Gaussian west, half in the skewed east; z spans
+    # quirk-branch (low) and skewed-branch (near PBL top) regimes
+    x = np.concatenate([rs.uniform(12.0, 26.0, n // 2),
+                        rs.uniform(34.0, 50.0, n // 2)])
+    y = rs.uniform(6.0, 24.0, n)
+    z = np.concatenate([rs.uniform(100.0, 1100.0, n // 2),
+                        rs.uniform(1300.0, 1450.0, n // 2)])
+    nsteps = 4
+    pk, traj_k = _run_kernel_legacy(grid, z0c, z1c, x, y, z, nsteps,
+                                    cfg, prm, cbl_probe=oprm)
+    states, nstops, trace_o = _run_oracle(grid, z0c, z1c, x, y, z,
+                                          nsteps, oprm)
+    assert all(s == 0 for s in nstops)
+    assert bool(np.all(np.asarray(pk.active)))
+    _compare(traj_k, trace_o, nstops)
