@@ -78,6 +78,19 @@ class StepConfig(NamedTuple):
     #                             psteps/s); also halves the tables'
     #                             HBM footprint.  Set False for f32
     #                             interpolation (validation studies)
+    legacy_quad: bool = False   # matched-RNG validation of the
+    #                             PRODUCTION interpolation path: draws
+    #                             still come from the rannumb table in
+    #                             reference order, but every met sample
+    #                             goes through the quad-corner row
+    #                             tables (the path bench.py measures)
+    #                             instead of the reference-exact
+    #                             per-time-level branch.  Only the
+    #                             wind-sigma estimator differs then
+    #                             (blended 4-sample vs 8/16-sample);
+    #                             with met_bf16=False the deterministic
+    #                             core agrees with legacy interp to f32
+    #                             roundoff (tests/test_quad_equiv.py)
 
 
 class StepParams(NamedTuple):
@@ -444,6 +457,7 @@ def _adaptive_interval(cfg: StepConfig, prm: StepParams, key,
     spent under 2*href for the deposition probability), nan count."""
     n = z.shape[0]
     legacy = leg is not None
+    legacy_interp = legacy and not cfg.legacy_quad
     if legacy:
         tab = leg.table
         R = tab.shape[0] - 1
@@ -451,7 +465,7 @@ def _adaptive_interval(cfg: StepConfig, prm: StepParams, key,
     def vert_wind(zc):
         """u,v,w,rho,drhodz at (frozen hw, current z)."""
         indz, dz1 = vert_weights(zc, height)
-        if legacy:
+        if legacy_interp:
             c0 = gather_corners_3d(z0.f3d, (0, 1, 2, 3, 4), hw, indz)
             c1 = gather_corners_3d(z1.f3d, (0, 1, 2, 3, 4), hw, indz)
             lev = (jnp.einsum("flnc,nc->fln", c0, hw.p4) * tw0
@@ -622,19 +636,21 @@ def _adaptive_interval(cfg: StepConfig, prm: StepParams, key,
     # 16-sample form in legacy mode)
     hw_f = hw
     indz_f, dz1_f = vert_weights(zc, height)
-    if legacy:
+    if legacy_interp:
         wind_e, sig16 = interp_wind_legacy(z0, z1, hw_f, indz_f, dz1_f,
                                            tw0, tw1)
         usig_e = jnp.where(ft, sig16[0], wind_e.usig)
         vsig_e = jnp.where(ft, sig16[1], wind_e.vsig)
         wsig_e = jnp.where(ft, sig16[2], wind_e.wsig)
-        mb = wrap1(nrand, 2)
-        rnd_m = jnp.stack([tab[mb], tab[mb + 1], tab[mb + 2]], 0)
     else:
         _, _, _, _, _, wind_e = sample_all_quad(tables, hw_f, indz_f,
                                                 dz1_f, zc * 0.0,
                                                 zc * 0.0, cfg.nx, cfg.ny)
         usig_e, vsig_e, wsig_e = wind_e.usig, wind_e.vsig, wind_e.wsig
+    if legacy:
+        mb = wrap1(nrand, 2)
+        rnd_m = jnp.stack([tab[mb], tab[mb + 1], tab[mb + 2]], 0)
+    else:
         rnd_m = rng.normals(key, (3, n), tag=4)
 
     return dict(z=zc, up=upc, vp=vpc, wp=wpc, icbt=icbtc,
@@ -797,7 +813,9 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     edt2 = (memtime1 - endtime).astype(jnp.float32)
     edtt = 1.0 / jnp.maximum(edt1 + edt2, 1e-6)
     ew0, ew1 = edt2 * edtt, edt1 * edtt
-    if not legacy:
+    # legacy_quad: legacy draws + PRODUCTION quad-table interpolation
+    legacy_interp = legacy and not cfg.legacy_quad
+    if not legacy_interp:
         mdt = jnp.bfloat16 if cfg.met_bf16 else jnp.float32
         if tables is None:
             tables = build_step_tables_quad(z0, z1, tw0, tw1, ew0, ew1,
@@ -818,7 +836,7 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     (hw, indz, dz1, h, tropop, ust, wst, ol,
      wind, sig16) = _sample_met(z0, z1, tw0, tw1, x, y, z, height,
                                 cfg.nx, cfg.ny, cfg.xglobal,
-                                legacy=legacy, tables=tables)
+                                legacy=legacy_interp, tables=tables)
 
     # nested met fields: recompute for particles inside each nest window
     # and select, outermost first so the INNERMOST containing nest wins
@@ -860,6 +878,7 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
         (l_rnd_i, l_rnd_h, l_rnd_w, l_rnd_ft, l_rnd_m,
          (l_b2, l_ft_meso)) = _legacy_draws(leg, cfg, pbl, in_trop,
                                             in_trans)
+    if legacy_interp:
         # above-PBL/PBL sigma conventions (interpol_wind.f90 16-sample
         # vs interpol_all.f90 per-level 8-sample)
         usig_w = jnp.where(pbl, wind.usig, sig16[0])
@@ -1146,7 +1165,7 @@ def advance_all(p: Particles, z0: ZFields, z1: ZFields,
     yn = y_hi + y_lo
     hw2 = horiz_weights(xn, yn, cfg.nx, cfg.ny, cfg.xglobal)
     indz2, dz1_2 = vert_weights(z_new, height)
-    if legacy:
+    if legacy_interp:
         # reference-exact per-time-level corrector wind
         # (interpol_wind_short.f90)
         u2, v2, w2 = interp_wind_short(z0, z1, hw2, indz2, dz1_2,

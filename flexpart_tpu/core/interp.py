@@ -378,8 +378,21 @@ class StepTablesQuad(NamedTuple):
     Lane order of `rows`: lane = q*4 + c, q in 0..14 over
     (u0,u1,v0,v1,w0,w1,rho0,rho1,drho0,drho1, hmix-max, tropo(t0),
     ustar_t, wstar_t, oli_t), c over corners (y,x),(y,x+1),(y+1,x),
-    (y+1,x+1); lanes 60-63 pad.  `rowsE`: endtime u,v,w pairs, lane =
-    q*4 + c, q in 0..5, lanes 24-63 pad."""
+    (y+1,x+1); lanes 60-62 carry the PRECOMPUTED per-cell mesoscale
+    wind sigmas (usig, vsig, wsig) in the reference's 8-sample
+    convention — std over 4 corners x 2 TIME LEVELS per level
+    (interpol_all.f90:216-240), averaged over the bracketing pair
+    (advance.f90:601-605).  Sigma is a per-CELL quantity (identical
+    for every particle in the cell at a given level pair), so the
+    grid-level precompute is exact, rides the same single-index
+    gather in the otherwise-padding lanes, and REMOVES the
+    per-particle variance math from the hot reduction.  It also fixes
+    the r4 blended-estimator bias: the 4-corner variance of the
+    time-blended field lost the temporal spread component and
+    undershot the reference sigma by up to ~2.4x on time-evolving
+    fields (measured, tests/test_quad_equiv.py).  Lane 63 pads.
+    `rowsE`: endtime u,v,w pairs, lane = q*4 + c, q in 0..5, lanes
+    24-63 pad."""
     rows: jnp.ndarray    # (R, 64), R = (nz-1)*ny*nx
     rowsE: jnp.ndarray   # (R, 64), lanes 24-63 pad (see _rows_from_quads)
 
@@ -415,6 +428,23 @@ def _rows_from_quads(q):
     return r
 
 
+def _cell_sigma8(z0: ZFields, z1: ZFields):
+    """Per-cell mesoscale wind sigmas in the reference convention:
+    per level, std over the cell's 4 corners x 2 time levels
+    (interpol_all.f90:216-240, var/7), then averaged over the
+    bracketing level pair (advance.f90:601-605).  Returns
+    (3, nz-1, ny, nx) for u,v,w."""
+    idx3 = jnp.asarray((F3_U, F3_V, F3_W))
+    u0 = _corner_stack(z0.f3d[idx3])                     # (3,4,nz,ny,nx)
+    u1 = _corner_stack(z1.f3d[idx3])
+    sl = jnp.sum(u0, axis=1) + jnp.sum(u1, axis=1)       # (3,nz,ny,nx)
+    sq = jnp.sum(u0 * u0, axis=1) + jnp.sum(u1 * u1, axis=1)
+    var = sq - sl * sl / 8.0
+    sig = jnp.where(var < 1.0e-30, 0.0,
+                    jnp.sqrt(jnp.maximum(var, 0.0) / 7.0))
+    return 0.5 * (sig[:, :-1] + sig[:, 1:])              # (3,nz-1,ny,nx)
+
+
 def build_step_tables_quad(z0: ZFields, z1: ZFields, tw0, tw1, ew0, ew1,
                            dtype=jnp.float32) -> StepTablesQuad:
     """One fused pass over the grid per sync interval, shared by every
@@ -435,7 +465,14 @@ def build_step_tables_quad(z0: ZFields, z1: ZFields, tw0, tw1, ew0, ew1,
     ], axis=0)                                           # (5, ny, nx)
     pack2b = jnp.broadcast_to(pack2d[:, None], (5, nz - 1, ny, nx))
     a15 = jnp.concatenate([pairA, pack2b], axis=0)       # (15, nzp, ny, nx)
-    rows = _rows_from_quads(_corner_stack(a15)).astype(dtype)
+    q15 = _corner_stack(a15)                             # (15,4,nzp,ny,nx)
+    # 16th quad: per-cell sigmas in the "corner" slots (lane 60..62),
+    # lane 63 zero — fills the 64-lane row exactly
+    sig3 = _cell_sigma8(z0, z1)                          # (3,nzp,ny,nx)
+    q16 = jnp.concatenate(
+        [sig3, jnp.zeros_like(sig3[:1])], axis=0)[None]  # (1,4,nzp,ny,nx)
+    rows = _rows_from_quads(
+        jnp.concatenate([q15, q16], axis=0)).astype(dtype)
     idx3 = jnp.asarray((F3_U, F3_V, F3_W))
     e3 = z0.f3d[idx3] * ew0 + z1.f3d[idx3] * ew1
     pairE = jnp.stack([e3[:, :-1], e3[:, 1:]],
@@ -449,24 +486,30 @@ def _cell_rowid(hw: HorizWeights, indz, nx: int, ny: int):
     return indz * (ny * nx) + hw.jy * nx + hw.ix
 
 
-def _reduce_stencil15(g, hw: HorizWeights, dz1, x, y):
+def _reduce_stencil15(g, hw: HorizWeights, dz1, x, y, sig=None):
     """Shared reduction of the (15, 4, N) gathered stencil (quad or
-    paired layout) to the interp_all/interp_wind quantities."""
+    paired layout) to the interp_all/interp_wind quantities.
+
+    sig: optional (3, N) precomputed per-cell wind sigmas (quad table
+    lanes 60-62, reference 8-sample convention).  Without it (paired
+    layout) the sigmas fall back to the per-level 4-corner variance of
+    the time-blended stack — a biased estimator that loses the
+    temporal spread (kept only for the legacy paired path)."""
     p4t = hw.p4.T                                        # (4, N)
     low = g[0:10:2]                                      # (5, 4, N) @ k
     high = g[1:10:2]                                     # (5, 4, N) @ k+1
     lev0 = jnp.sum(low * p4t, axis=1)                    # (5, N)
     lev1 = jnp.sum(high * p4t, axis=1)
     val = lev0 * (1.0 - dz1) + lev1 * dz1
-    # wind stddev: per-level 4-corner variance, levels averaged
-    # (interpol_all.f90:216-240 convention on the time-blended stack)
-    uvw = jnp.stack([low[:3], high[:3]], axis=1)         # (3, 2, 4, N)
-    sl = jnp.sum(uvw, axis=2)
-    sq = jnp.sum(uvw * uvw, axis=2)
-    var = sq - sl * sl / 4.0
-    sig_lev = jnp.where(var < 1.0e-30, 0.0,
-                        jnp.sqrt(jnp.maximum(var, 0.0) / 3.0))
-    sig = 0.5 * (sig_lev[:, 0] + sig_lev[:, 1])
+    if sig is None:
+        # blended-stack fallback (paired layout only)
+        uvw = jnp.stack([low[:3], high[:3]], axis=1)     # (3, 2, 4, N)
+        sl = jnp.sum(uvw, axis=2)
+        sq = jnp.sum(uvw * uvw, axis=2)
+        var = sq - sl * sl / 4.0
+        sig_lev = jnp.where(var < 1.0e-30, 0.0,
+                            jnp.sqrt(jnp.maximum(var, 0.0) / 3.0))
+        sig = 0.5 * (sig_lev[:, 0] + sig_lev[:, 1])
     wind = WindInterp(u=val[0], v=val[1], w=val[2], rho=val[3],
                       drhodz=val[4], usig=sig[0], vsig=sig[1],
                       wsig=sig[2])
@@ -491,8 +534,9 @@ def sample_all_quad(tables: StepTablesQuad, hw: HorizWeights,
     interpol_all/interpol_wind + 2-D family."""
     lin = _cell_rowid(hw, indz, nx, ny)                  # (N,)
     g = tables.rows[lin].T.astype(jnp.float32)           # (64, N)
+    sig = g[60:63]                                       # (3, N) per-cell
     g = g[:60].reshape(15, 4, -1)
-    return _reduce_stencil15(g, hw, dz1, x, y)
+    return _reduce_stencil15(g, hw, dz1, x, y, sig=sig)
 
 
 def wind10_quad(rows, hw: HorizWeights, indz, dz1, nx: int, ny: int):

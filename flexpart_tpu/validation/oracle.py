@@ -813,19 +813,22 @@ def oracle_advance(prm: OracleParams, itp: _Interp, stream: NrandStream,
                             delz = wp * dtf
                     else:
                         # weakly convective Gaussian on raw wp
-                        # (advance.f90:425-442)
+                        # (advance.f90:425-442).  NOTE: keep this local
+                        # named sgw — `sig` is the profile dict read
+                        # again after the loop (advance.f90 sigma
+                        # re-read), shadowing it crashes that read.
                         nrand += 1
-                        sig = t.sigw
-                        ath = f32(-wp / t.tlw + sig * t.dsigwdz
-                                  + wp * wp / sig * t.dsigwdz
-                                  + sig * sig / rhoa * rhograd)
-                        bth = f32(sig * table[min(nrand, R)]
+                        sgw = t.sigw
+                        ath = f32(-wp / t.tlw + sgw * t.dsigwdz
+                                  + wp * wp / sgw * t.dsigwdz
+                                  + sgw * sgw / rhoa * rhograd)
+                        bth = f32(sgw * table[min(nrand, R)]
                                   * f32(math.sqrt(2.0 * dtftlw)))
                         wp = f32((wp + ath * dtf + bth) * f32(icbt))
                         delz = wp * dtf
                         if math.isnan(wp) or math.isinf(wp):
                             nrand += 1
-                            wp = f32(sig * table[min(nrand, R)])
+                            wp = f32(sgw * table[min(nrand, R)])
                             delz = wp * dtf
                 elif prm.turbswitch:
                     if dtftlw < 0.5:
