@@ -338,9 +338,12 @@ from ..met.fields import ZFields
 def _tile_indices(ny: int, nx_field: int, nty: int, ntx: int, halo: int,
                   xglobal: bool):
     """Row/col gather maps for every tile: rows (nty, ty+2h) pole-clamped,
-    cols (ntx, tx+2h) seam-wrapped."""
-    ty = ny // nty
-    tx = nx_field // ntx
+    cols (ntx, tx+2h) seam-wrapped.  Ceil-sized tiles: when the grid
+    doesn't divide, the last tiles' pad rows/cols clamp at the pole /
+    wrap at the seam — duplicated field values in cells no particle
+    visits."""
+    ty = -(-ny // nty)
+    tx = -(-nx_field // ntx)
     rows = np.stack([np.clip(np.arange(j * ty - halo, j * ty + ty + halo),
                              0, ny - 1) for j in range(nty)])
     cols = []
@@ -372,11 +375,21 @@ def decompose_zfields(zf: ZFields, nty: int, ntx: int, halo: int,
 
 
 def make_tiled_advance(mesh, cfg: StepConfig, ntx: int, nty: int,
-                       tx: int, ty: int, halo: int, msg_cap: int = 4096):
+                       tx: int, ty: int, halo: int, msg_cap: int = 4096,
+                       return_pre: bool = False):
     """Jitted distributed step over a ("ty","tx") mesh: particles and
     field tiles sharded one-tile-per-device.  Returns
     (p, z0_tiles, z1_tiles, itime, mt0, mt1, key, prm) ->
-    (p, n_active, n_unplaced)."""
+    (p, n_active, n_unplaced).
+
+    return_pre=True appends the PRE-MIGRATION particle state (global
+    positions, BCs and domain-exit kills applied, slots still aligned
+    with the INPUT buffer) to the outputs.  Consumers that pair
+    before/after states per slot — gross-flux face crossings
+    (calcfluxes.f90 uses xold/xnew of the same particle) and
+    initial-condition scatters for particles the step terminated
+    (timemanager.f90:631) — must use this state: after migration a slot
+    may hold a different particle."""
     from jax.sharding import PartitionSpec as P
     txh = tx + 2 * halo
     tyh = ty + 2 * halo
@@ -422,14 +435,18 @@ def make_tiled_advance(mesh, cfg: StepConfig, ntx: int, nty: int,
             x_hi=xh, x_lo=xl, y_hi=yh, y_lo=yl,
             active=pg.active & ~kill,
             itra=jnp.where(kill, ITRA_INACTIVE, pg.itra))
+        pre = pg
         pg, n_bad = migrate_local(pg, ntx, nty, tx, ty, msg_cap,
                                   rounds_x=rounds_x, rounds_y=rounds_y)
         n_act = lax.psum(jnp.sum(pg.active.astype(jnp.int32)),
                          (AX_TY, AX_TX))
+        if return_pre:
+            return pg, n_act, n_bad, pre
         return pg, n_act, n_bad
 
+    out_specs = (p_specs, P(), P()) + ((p_specs,) if return_pre else ())
     return jax.jit(jax.shard_map(
         _local, mesh=mesh,
         in_specs=(p_specs, z_specs, z_specs, P(), P(), P(), P(), P()),
-        out_specs=(p_specs, P(), P()),
+        out_specs=out_specs,
     ))

@@ -145,3 +145,64 @@ def test_regional_boundary_state_checkpointed(tmp_path):
     np.testing.assert_array_equal(np.asarray(sim2._boundary.area),
                                   np.asarray(sim._boundary.area))
     assert float(sim2._boundary.xpp) == float(sim._boundary.xpp)
+
+
+def test_domainfill_dp_matches_serial(tmp_path):
+    """Distributed domain-filling (BASELINE config 4; the reference has
+    dedicated MPI machinery in init_domainfill_mpi.f90 /
+    boundcond_domainfill_mpi.f90): the dp-sharded run — GSPMD advance,
+    per-device accumulator partials, boundary creation/destruction with
+    psum'd flux accumulators — must reproduce the serial regional
+    domain-fill run.  The buffer layout is identical (capacity already
+    a multiple of the device count), so the slot-keyed draws match and
+    the comparison is exact to scatter-order tolerance."""
+    import dataclasses
+    import glob
+
+    from flexpart_tpu.met import uniform_wind_met
+
+    grid = make_grid(nx=73, ny=37, nlev=20, dx=5.0, dy=5.0)
+    cmd = Command(ibdate=20200101, ibtime=0, iedate=20200101,
+                  ietime=30000, lsynctime=900, loutstep=3600,
+                  loutaver=3600, loutsample=900, lconvection=0,
+                  mdomainfill=1)
+    box = ReleaseBox(idate1=20200101, itime1=0, idate2=20200101, itime2=0,
+                     lon1=-60.0, lon2=60.0, lat1=-30.0, lat2=30.0,
+                     z1=0.0, z2=50000.0, mass=(1.0,), parts=5000)
+    rel = Releases(species=(Species(),), boxes=(box,))
+    og = OutGrid(outlon0=-60.0, outlat0=-30.0, numxgrid=24, numygrid=12,
+                 dxout=5.0, dyout=5.0, outheights=(2000.0, 50000.0))
+
+    def mk(outdir, **kw):
+        return Simulation(cmd=cmd, releases=rel, grid=grid,
+                          met_backend=uniform_wind_met(grid, u=20.0,
+                                                       v=0.0),
+                          outgrid=og, outdir=str(outdir), seed=13,
+                          capacity=12000, write_netcdf=False, **kw)
+
+    sim_s = mk(tmp_path / "serial")
+    sim_s.run()
+    sim_d = mk(tmp_path / "dp", distributed="dp")
+    assert sim_d._mesh is not None
+    sim_d.run()
+
+    # same sustained population and boundary-created particles
+    act_s = np.asarray(sim_s.particles.active)
+    act_d = np.asarray(sim_d.particles.active)
+    assert act_d.sum() == act_s.sum() > 3000
+    created_s = act_s & (np.asarray(sim_s.particles.itramem) > 0)
+    created_d = act_d & (np.asarray(sim_d.particles.itramem) > 0)
+    assert created_d.sum() == created_s.sum() > 20
+
+    # boundary flux accumulators agree (the psum'd global scalars)
+    np.testing.assert_allclose(np.asarray(sim_d._boundary.acc),
+                               np.asarray(sim_s._boundary.acc),
+                               rtol=1e-4, atol=1e-6)
+
+    # gridded concentrations agree
+    fs = sorted(glob.glob(str(tmp_path / "serial" / "grid_conc_*.npz")))
+    fd = sorted(glob.glob(str(tmp_path / "dp" / "grid_conc_*.npz")))
+    assert len(fs) == len(fd) >= 2
+    for a, b in zip(fs, fd):
+        np.testing.assert_allclose(np.load(b)["conc"], np.load(a)["conc"],
+                                   rtol=1e-3, atol=1e-6)

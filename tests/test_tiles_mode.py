@@ -112,11 +112,14 @@ def test_tiled_turbulent_smoke(tmp_path):
 
 
 def test_tiles_rejects_unsupported(tmp_path):
-    with pytest.raises(ValueError, match="LCONVECTION"):
+    """Convection/OH/receptors/flux/splitting are tile-supported since
+    r5; domain-fill remains dp-only."""
+    with pytest.raises(ValueError, match="MDOMAINFILL"):
         grid = make_grid(nx=37, ny=18, nlev=15, dx=10.0, dy=10.0)
         cmd = Command(ibdate=20200101, ibtime=0, iedate=20200101,
                       ietime=30000, lsynctime=900, loutstep=3600,
-                      loutaver=3600, loutsample=900, lconvection=1)
+                      loutaver=3600, loutsample=900, lconvection=0,
+                      mdomainfill=1)
         box = ReleaseBox(idate1=20200101, itime1=0, idate2=20200101,
                          itime2=0, lon1=0.0, lon2=2.0, lat1=40.0,
                          lat2=42.0, z1=50.0, z2=500.0, mass=(1.0,),
@@ -197,3 +200,108 @@ def test_tiled_dynamic_rebalance(tmp_path):
 
     np.testing.assert_allclose(ensemble(sim_t), ensemble(sim_s),
                                rtol=2e-4, atol=1e-4)
+
+
+def _sim_full(outdir, distributed=None, lconvection=0, itsplit=999999999,
+              iflux=0, receptors=(), ohreact=False, parts=96):
+    """Feature-matrix sim: deterministic when lconvection=0 (turboff;
+    OH, receptors, flux and splitting carry no random draws)."""
+    from flexpart_tpu.config import Receptor
+    grid = make_grid(nx=37, ny=18, nlev=15, dx=10.0, dy=10.0)
+    cmd = Command(ibdate=20200101, ibtime=0, iedate=20200101,
+                  ietime=30000, lsynctime=900, loutstep=3600,
+                  loutaver=3600, loutsample=900,
+                  lconvection=lconvection, itsplit=itsplit, iflux=iflux)
+    sp = Species(name="REACT", ohcconst=1.0e-11, ohdconst=500.0,
+                 ohnconst=0.0) if ohreact else Species()
+    boxes = [ReleaseBox(idate1=20200101, itime1=0, idate2=20200101,
+                        itime2=0, lon1=-150.0, lon2=120.0,
+                        lat1=-60.0, lat2=60.0, z1=2.0, z2=3000.0,
+                        mass=(1.0,), parts=parts)]
+    rel = Releases(species=(sp,), boxes=tuple(boxes))
+    og = OutGrid(outlon0=-60.0, outlat0=-40.0, numxgrid=60, numygrid=40,
+                 dxout=2.0, dyout=2.0,
+                 outheights=(500.0, 2000.0, 50000.0))
+    return Simulation(cmd=cmd, releases=rel, grid=grid,
+                      met_backend=SyntheticMet(grid), outgrid=og,
+                      outdir=str(outdir), seed=77, turboff=True,
+                      distributed=distributed, write_netcdf=False,
+                      met_bf16=False, capacity=parts * 4,
+                      receptors=tuple(receptors))
+
+
+def _ensemble(sim):
+    act = np.asarray(sim.particles.active)
+    cols = np.stack([np.asarray(sim.particles.x)[act],
+                     np.asarray(sim.particles.y)[act],
+                     np.asarray(sim.particles.z)[act],
+                     np.asarray(sim.particles.mass)[act, 0]])
+    return cols[:, np.lexsort(cols)]
+
+
+def test_tiled_split_oh_receptors_flux_match_serial(tmp_path):
+    """The r5 tile feature matrix, deterministic part: particle
+    splitting (tile-local slot allocation), OH chemistry, receptor
+    sampling and gross fluxes must reproduce the serial run on the 2x4
+    tile mesh (timemanager_mpi.f90:211-858 full-physics parity;
+    receptor reduce mpi_mod.f90:2459-2475)."""
+    from flexpart_tpu.config import Receptor
+    recs = (Receptor(name="MID", lon=-20.0, lat=10.0),)
+    kw = dict(itsplit=7200, iflux=1, receptors=recs, ohreact=True)
+    sim_s = _sim_full(tmp_path / "serial", **kw)
+    sim_s.run()
+    sim_t = _sim_full(tmp_path / "tiles", distributed="tiles", **kw)
+    assert sim_t._tiles is not None
+    sim_t.run()
+
+    # splitting fired (particle count grew) identically
+    es, et = _ensemble(sim_s), _ensemble(sim_t)
+    assert es.shape[1] > 96, "split must have created children"
+    assert es.shape == et.shape
+    np.testing.assert_allclose(et, es, rtol=2e-4, atol=1e-4)
+
+    # OH acted on the mass (REACT species decays)
+    assert float(np.asarray(sim_s.particles.mass).sum()) < \
+        0.999 * 1.0
+
+    # receptors: identical sampled concentrations
+    rs = np.asarray(sim_s.creceptor)
+    rt = np.asarray(sim_t.creceptor)
+    assert rs.max() >= 0.0
+    np.testing.assert_allclose(rt, rs, rtol=1e-3, atol=1e-10)
+
+    # fluxes: same face crossings (compare the written flux grids —
+    # the in-memory array resets at each output)
+    ffs = sorted(glob.glob(str(tmp_path / "serial" / "grid_flux_*.npz")))
+    fft = sorted(glob.glob(str(tmp_path / "tiles" / "grid_flux_*.npz")))
+    assert len(ffs) == len(fft) >= 1
+    saw_flux = False
+    for a, b in zip(ffs, fft):
+        fa = np.load(a)["flux"]
+        fb = np.load(b)["flux"]
+        saw_flux |= fa.sum() > 0
+        np.testing.assert_allclose(fb, fa, rtol=2e-3, atol=1e-6)
+    assert saw_flux
+
+
+def test_tiled_convection_statistical(tmp_path):
+    """Convective redistribution on tiles: draws are slot-keyed, so
+    tiled and serial runs are distinct stochastic realizations — the
+    comparison is statistical: exact mass conservation (redist moves
+    particles, never mass), every particle kept, and a consistent
+    convective signature (same moved-particle z-range coverage)."""
+    sim_s = _sim_full(tmp_path / "serial", lconvection=1, parts=192)
+    sim_s.run()
+    sim_t = _sim_full(tmp_path / "tiles", distributed="tiles",
+                      lconvection=1, parts=192)
+    sim_t.run()
+    act_s = int(np.asarray(sim_s.particles.active).sum())
+    act_t = int(np.asarray(sim_t.particles.active).sum())
+    assert act_s == act_t == 192
+    np.testing.assert_allclose(
+        float(np.asarray(sim_t.particles.mass).sum()),
+        float(np.asarray(sim_s.particles.mass).sum()), rtol=1e-5)
+    zs = np.asarray(sim_s.particles.z)[np.asarray(sim_s.particles.active)]
+    zt = np.asarray(sim_t.particles.z)[np.asarray(sim_t.particles.active)]
+    # same convective environment: medians within the PBL scale
+    assert abs(np.median(zs) - np.median(zt)) < 1500.0
