@@ -191,8 +191,9 @@ def domainfill_100m():
     from flexpart_tpu.met.fields import F3_RHO, F3_TT
     from flexpart_tpu.constants import GA, R_AIR
 
+    import os
     grid, z0, z1 = _ref1_met()
-    n = 100_000_000
+    n = int(os.environ.get("FLEX_DOMAINFILL_N", 100_000_000))
     key = jax.random.PRNGKey(1)
 
     # column mass (init_domainfill.f90:92-98) -> categorical column draw
@@ -250,7 +251,7 @@ def domainfill_100m():
     prm = StepParams.make(dx=grid.dx, dy=grid.dy, ylat0=grid.ylat0,
                           dxconst=grid.dxconst, dyconst=grid.dyconst,
                           lsynctime=900, fine=1.0)
-    n_chunks = 100                   # 1M-particle chunks divide n exactly
+    n_chunks = max(1, n // 1_000_000)   # 1M-particle chunks divide n
 
     def step(p, i):
         newp, _ = advance_chunked(p, z0, z1, jnp.int32(i * 900),

@@ -1,5 +1,8 @@
 """Break the bench step into advance vs conccalc vs RNG with multi-step
 chained timing (the only harness the async relay can't elide)."""
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import jax

@@ -3,6 +3,9 @@
 Times each hot-path component in isolation at bench-like sizes so the
 optimization work targets the real bottleneck (VERDICT round-1 weak #1).
 """
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import jax
