@@ -387,3 +387,90 @@ def shard_by_tile_scheduled(p_np: dict, ft, local_cap: int):
             out[name][j] = np.asarray(p_np[name])[i]
         fill[t] += 1
     return out
+
+
+def partition_boundary(bs, nty: int, ntx: int, tx: int, ty: int,
+                       halo: int, nx_global: int):
+    """Host-side split of a regional domain-fill BoundaryState by
+    OWNING TILE (init_domainfill_mpi.f90 analog): every boundary site
+    (one vertical layer of one boundary column) belongs to exactly one
+    tile, its flux accumulator is site-local, and its emitted particles
+    land within half a cell of the column — inside the owner's halo —
+    so the whole boundary condition runs tile-locally with NO
+    cross-device communication.  Returns a BoundaryState whose arrays
+    gain a leading (nty*ntx) tile axis (padded to the max per-tile site
+    count; pad sites have valid=False) with col_flat rewritten to the
+    TILE-LOCAL haloed linear index."""
+    from ..core.domainfill import BoundaryState
+    col = np.asarray(bs.col_flat)
+    valid = np.asarray(bs.valid)
+    jy = col // nx_global
+    ix = col % nx_global
+    it = np.clip(ix // tx, 0, ntx - 1)
+    jt = np.clip(jy // ty, 0, nty - 1)
+    tid = jt * ntx + it
+    ntile = ntx * nty
+    txh = tx + 2 * halo
+    counts = np.bincount(tid[valid], minlength=ntile)
+    smax = max(int(counts.max()), 1)
+
+    ix_l = ix - (it * tx - halo)
+    jy_l = jy - (jt * ty - halo)
+    col_local = jy_l * txh + ix_l
+
+    out = {}
+    for name in BoundaryState._fields:
+        a = np.asarray(getattr(bs, name))
+        if a.ndim == 0 or name in ("xpp", "xlim", "ylim"):
+            # per-tile replicated scalars/windows
+            out[name] = np.broadcast_to(a[None], (ntile,) + a.shape).copy()
+            continue
+        fill = False if a.dtype == bool else 0
+        buf = np.full((ntile, smax) + a.shape[1:], fill, a.dtype)
+        out[name] = buf
+    fill_ix = np.zeros(ntile, int)
+    for s in np.nonzero(valid)[0]:
+        t = tid[s]
+        k = fill_ix[t]
+        fill_ix[t] += 1
+        for name in BoundaryState._fields:
+            a = np.asarray(getattr(bs, name))
+            if a.ndim == 0 or name in ("xpp", "xlim", "ylim"):
+                continue
+            out[name][t, k] = col_local[s] if name == "col_flat" else a[s]
+    return BoundaryState(**{k: jnp.asarray(v) for k, v in out.items()})
+
+
+def make_tiled_boundcond(mesh: Mesh, ntx: int, mdomainfill: int,
+                         ldirect: int, nclassunc: int, check_x: bool,
+                         has_vdep: bool):
+    """Tile-local boundcond_domainfill (boundcond_domainfill_mpi.f90
+    analog): each device kills its out-of-window particles, integrates
+    mass inflow through ITS boundary sites from its haloed field tile,
+    and emits new particles into ITS OWN slot buffer (per-tile
+    prefix-sum allocation, like make_tiled_split)."""
+    from ..core.domainfill import BoundaryState, boundcond_domainfill
+    p_specs = _particle_specs()
+    z_specs = _ZSpecs.make(has_vdep)
+    b_specs = BoundaryState(*[P((AX_TY, AX_TX))]
+                            * len(BoundaryState._fields))
+
+    def _local(p, bs_t, z0t, z1t, itime, mt0, mt1, key, lsynctime,
+               itsplit, ylat0, dy):
+        it = lax.axis_index(AX_TX)
+        jt = lax.axis_index(AX_TY)
+        key = jax.random.fold_in(key, jt * ntx + it)
+        bs = BoundaryState(*[a[0] for a in bs_t])
+        p2, bs2 = boundcond_domainfill(
+            p, bs, _local_zfields(z0t), _local_zfields(z1t), itime,
+            mt0, mt1, key, lsynctime, itsplit, ylat0, dy,
+            mdomainfill=mdomainfill, ldirect=ldirect,
+            nclassunc=nclassunc, check_x=check_x)
+        return p2, BoundaryState(*[a[None] for a in bs2])
+
+    fn = jax.shard_map(
+        _local, mesh=mesh,
+        in_specs=(p_specs, b_specs, z_specs, z_specs,
+                  P(), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(p_specs, b_specs))
+    return jax.jit(fn)

@@ -434,8 +434,6 @@ class Simulation:
             # physics set per rank (redist_mpi.f90, mpi_mod.f90:
             # 2459-2475 receptor reduce).
             unsupported = []
-            if getattr(cmd, "mdomainfill", 0) >= 1:
-                unsupported.append("MDOMAINFILL")
             if self.met_nests:
                 unsupported.append("nested met grids")
             if self.bkdep:
@@ -982,7 +980,30 @@ class Simulation:
                      self.airmass_total,
                      "" if self._boundary is None
                      else " (regional window + boundary conditions)")
-            if self._mesh is not None:
+            if self._tiles is not None:
+                # tiles mode (init_domainfill_mpi.f90 analog): group
+                # the filled population by owning tile, partition the
+                # boundary-site table tile-locally, and build the
+                # shard_map'd boundary-condition step
+                from ..parallel.tiles import (make_tiled_boundcond,
+                                              partition_boundary)
+                eng = self._tiles
+                self.particles = eng.shard_initial(self.particles,
+                                                   self.tile_local_cap)
+                if self._boundary is not None:
+                    self._boundary = jax.device_put(
+                        partition_boundary(
+                            self._boundary, eng.nty, eng.ntx, eng.tx,
+                            eng.ty, eng.halo, self.grid.nx),
+                        eng.sharding)
+                    self._tiled_boundcond = make_tiled_boundcond(
+                        eng.mesh, eng.ntx, cmd.mdomainfill,
+                        cmd.ldirect, self.nclassunc,
+                        check_x=not (self.grid.xglobal and float(
+                            self._boundary.xlim[0, 1])
+                            == self.grid.nx - 2),
+                        has_vdep=self.any_drydep)
+            elif self._mesh is not None:
                 from ..parallel import pad_particles, shard_particles
                 self.particles = shard_particles(
                     pad_particles(self.particles,
@@ -1067,20 +1088,32 @@ class Simulation:
             # regional domain-fill boundary conditions
             # (timemanager.f90:244-251 -> boundcond_domainfill.f90)
             if self._boundary is not None:
-                from ..core.domainfill import boundcond_domainfill
                 bkey = jax.random.fold_in(self._key, 3000000 + istep)
-                xglobal_full = (self.grid.xglobal and float(
-                    self._boundary.xlim[1]) == self.grid.nx - 2)
-                self.particles, self._boundary = boundcond_domainfill(
-                    self.particles, self._boundary, z0, z1,
-                    jnp.int32(itime), jnp.int32(mt0), jnp.int32(mt1),
-                    bkey, jnp.int32(cmd.lsynctime),
-                    jnp.int32(min(cmd.itsplit, 499999999)),
-                    jnp.float32(self.grid.ylat0),
-                    jnp.float32(self.grid.dy),
-                    mdomainfill=cmd.mdomainfill, ldirect=cmd.ldirect,
-                    nclassunc=self.nclassunc,
-                    check_x=not xglobal_full)
+                if self._tiles is not None:
+                    self.particles, self._boundary = \
+                        self._tiled_boundcond(
+                            self.particles, self._boundary,
+                            self._get_tiles(mt0), self._get_tiles(mt1),
+                            jnp.int32(itime), jnp.int32(mt0),
+                            jnp.int32(mt1), bkey,
+                            jnp.int32(cmd.lsynctime),
+                            jnp.int32(min(cmd.itsplit, 499999999)),
+                            jnp.float32(self.grid.ylat0),
+                            jnp.float32(self.grid.dy))
+                else:
+                    from ..core.domainfill import boundcond_domainfill
+                    xglobal_full = (self.grid.xglobal and float(
+                        self._boundary.xlim[1]) == self.grid.nx - 2)
+                    self.particles, self._boundary = boundcond_domainfill(
+                        self.particles, self._boundary, z0, z1,
+                        jnp.int32(itime), jnp.int32(mt0), jnp.int32(mt1),
+                        bkey, jnp.int32(cmd.lsynctime),
+                        jnp.int32(min(cmd.itsplit, 499999999)),
+                        jnp.float32(self.grid.ylat0),
+                        jnp.float32(self.grid.dy),
+                        mdomainfill=cmd.mdomainfill, ldirect=cmd.ldirect,
+                        nclassunc=self.nclassunc,
+                        check_x=not xglobal_full)
 
             # backward-deposition scavenging factor for fresh particles
             # (timemanager.f90:565-598, once per particle after release)

@@ -206,3 +206,76 @@ def test_domainfill_dp_matches_serial(tmp_path):
     for a, b in zip(fs, fd):
         np.testing.assert_allclose(np.load(b)["conc"], np.load(a)["conc"],
                                    rtol=1e-3, atol=1e-6)
+
+
+def test_domainfill_tiles_matches_serial(tmp_path):
+    """Regional domain-fill under distributed='tiles'
+    (init/boundcond_domainfill_mpi.f90 analog): boundary sites are
+    partitioned by owning tile and the whole boundary condition runs
+    tile-locally.  The per-site flux accumulators and emission counts
+    are DETERMINISTIC functions of the met fields, so they must match
+    the serial run exactly (compared as sorted multisets — the tiled
+    site table is reordered); emitted positions are stochastic, so the
+    population comparison is statistical."""
+    import glob
+
+    from flexpart_tpu.met import uniform_wind_met
+
+    grid = make_grid(nx=73, ny=36, nlev=20, dx=5.0, dy=5.0)
+    cmd = Command(ibdate=20200101, ibtime=0, iedate=20200101,
+                  ietime=30000, lsynctime=900, loutstep=3600,
+                  loutaver=3600, loutsample=900, lconvection=0,
+                  mdomainfill=1)
+    box = ReleaseBox(idate1=20200101, itime1=0, idate2=20200101, itime2=0,
+                     lon1=-60.0, lon2=60.0, lat1=-30.0, lat2=30.0,
+                     z1=0.0, z2=50000.0, mass=(1.0,), parts=5000)
+    rel = Releases(species=(Species(),), boxes=(box,))
+    og = OutGrid(outlon0=-60.0, outlat0=-30.0, numxgrid=24, numygrid=12,
+                 dxout=5.0, dyout=5.0, outheights=(2000.0, 50000.0))
+
+    def mk(outdir, **kw):
+        return Simulation(cmd=cmd, releases=rel, grid=grid,
+                          met_backend=uniform_wind_met(grid, u=20.0,
+                                                       v=0.0),
+                          outgrid=og, outdir=str(outdir), seed=13,
+                          capacity=12000, write_netcdf=False,
+                          write_npz=False, **kw)
+
+    sim_s = mk(tmp_path / "serial")
+    sim_s.run()
+    sim_t = mk(tmp_path / "tiles", distributed="tiles",
+               tile_local_cap=4000)
+    assert sim_t._tiles is not None
+    sim_t.run()
+
+    # deterministic boundary bookkeeping: same per-site accumulators
+    acc_s = np.sort(np.asarray(sim_s._boundary.acc)[
+        np.asarray(sim_s._boundary.valid)])
+    acc_t = np.sort(np.asarray(sim_t._boundary.acc)[
+        np.asarray(sim_t._boundary.valid)])
+    assert acc_s.shape == acc_t.shape
+    np.testing.assert_allclose(acc_t, acc_s, rtol=1e-4, atol=1e-3)
+
+    # sustained population within a few % of serial (creation counts
+    # deterministic; individual exits differ through the stochastic
+    # emitted positions)
+    n_s = int(np.asarray(sim_s.particles.active).sum())
+    n_t = int(np.asarray(sim_t.particles.active).sum())
+    assert n_s > 3000
+    assert abs(n_t - n_s) < 0.05 * n_s, (n_t, n_s)
+
+    # created particles carry exactly xmassperparticle and sit inside
+    # the window (emission within the owner's halo, migrated onward)
+    act = np.asarray(sim_t.particles.active)
+    created = act & (np.asarray(sim_t.particles.itramem) > 0)
+    assert created.sum() > 20
+    m = np.asarray(sim_t.particles.mass)[created, 0]
+    np.testing.assert_allclose(m, float(np.asarray(
+        sim_t._boundary.xpp).ravel()[0]), rtol=1e-5)
+    bs = sim_s._boundary
+    xt = np.asarray(sim_t.particles.x)[act]
+    yt = np.asarray(sim_t.particles.y)[act]
+    assert (xt >= float(bs.xlim[0]) - 1e-3).all()
+    assert (xt <= float(bs.xlim[1]) + 1e-3).all()
+    assert (yt >= float(bs.ylim[0]) - 1e-3).all()
+    assert (yt <= float(bs.ylim[1]) + 1e-3).all()
