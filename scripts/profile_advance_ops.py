@@ -1,5 +1,8 @@
 """Op-level profile of one advance step via jax.profiler.ProfileData."""
 import collections
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import glob
 import os
 import tempfile
