@@ -445,12 +445,29 @@ def _cell_sigma8(z0: ZFields, z1: ZFields):
     return 0.5 * (sig[:, :-1] + sig[:, 1:])              # (3,nz-1,ny,nx)
 
 
+def _corners4(a):
+    """One field at the cell's 4 corners (same roll/clamp semantics as
+    _corner_stack, per-field)."""
+    ax = jnp.roll(a, -1, axis=-1)
+    ay = jnp.concatenate([a[..., 1:, :], a[..., -1:, :]], axis=-2)
+    axy = jnp.roll(ay, -1, axis=-1)
+    return (a, ax, ay, axy)
+
+
 def build_step_tables_quad(z0: ZFields, z1: ZFields, tw0, tw1, ew0, ew1,
                            dtype=jnp.float32) -> StepTablesQuad:
     """One fused pass over the grid per sync interval, shared by every
     particle chunk.  hmix takes the max over the two time levels here
     (advance.f90:236-252); 2-D rows are broadcast down the k axis so
-    they ride the same single-index gather."""
+    they ride the same single-index gather.
+
+    The rows are built LANES-LAST (stack the 64 per-lane grid arrays
+    along a new minor axis) instead of lanes-first + transpose: the
+    round-4 form materialized a (64, R) array and paid an explicit
+    (R, 64) relayout copy per step (~tens of ms at REF1 scale in the
+    op profile); stacking into the final layout lets XLA fuse the
+    corner rolls straight into the output pass.  Output is bitwise
+    identical."""
     from ..met.fields import F2_HMIX, F2_OLI, F2_TROPO, F2_USTAR, F2_WSTAR
     f3dt = blend_wind_stack(z0, z1, tw0, tw1)            # (5, nz, ny, nx)
     nz, ny, nx = f3dt.shape[1:]
@@ -465,19 +482,22 @@ def build_step_tables_quad(z0: ZFields, z1: ZFields, tw0, tw1, ew0, ew1,
     ], axis=0)                                           # (5, ny, nx)
     pack2b = jnp.broadcast_to(pack2d[:, None], (5, nz - 1, ny, nx))
     a15 = jnp.concatenate([pairA, pack2b], axis=0)       # (15, nzp, ny, nx)
-    q15 = _corner_stack(a15)                             # (15,4,nzp,ny,nx)
-    # 16th quad: per-cell sigmas in the "corner" slots (lane 60..62),
-    # lane 63 zero — fills the 64-lane row exactly
     sig3 = _cell_sigma8(z0, z1)                          # (3,nzp,ny,nx)
-    q16 = jnp.concatenate(
-        [sig3, jnp.zeros_like(sig3[:1])], axis=0)[None]  # (1,4,nzp,ny,nx)
-    rows = _rows_from_quads(
-        jnp.concatenate([q15, q16], axis=0)).astype(dtype)
+    lanes = []
+    for q in range(15):
+        lanes.extend(_corners4(a15[q]))
+    # lanes 60-62: per-cell sigmas; lane 63 pad
+    lanes.extend([sig3[0], sig3[1], sig3[2], jnp.zeros_like(sig3[0])])
+    rows = jnp.stack(lanes, axis=-1).astype(dtype).reshape(-1, 64)
     idx3 = jnp.asarray((F3_U, F3_V, F3_W))
     e3 = z0.f3d[idx3] * ew0 + z1.f3d[idx3] * ew1
     pairE = jnp.stack([e3[:, :-1], e3[:, 1:]],
                       axis=1).reshape(6, nz - 1, ny, nx)
-    rowsE = _rows_from_quads(_corner_stack(pairE)).astype(dtype)
+    lanesE = []
+    for q in range(6):
+        lanesE.extend(_corners4(pairE[q]))
+    lanesE.extend([jnp.zeros_like(pairE[0])] * 40)       # lanes 24-63 pad
+    rowsE = jnp.stack(lanesE, axis=-1).astype(dtype).reshape(-1, 64)
     return StepTablesQuad(rows=rows, rowsE=rowsE)
 
 

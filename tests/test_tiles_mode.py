@@ -112,14 +112,16 @@ def test_tiled_turbulent_smoke(tmp_path):
 
 
 def test_tiles_rejects_unsupported(tmp_path):
-    """Convection/OH/receptors/flux/splitting are tile-supported since
-    r5; domain-fill remains dp-only."""
-    with pytest.raises(ValueError, match="MDOMAINFILL"):
+    """Convection/OH/receptors/flux/splitting/domain-fill are
+    tile-supported since r5; nested met grids and backward deposition
+    remain dp-only."""
+    with pytest.raises(ValueError, match="nested met"):
         grid = make_grid(nx=37, ny=18, nlev=15, dx=10.0, dy=10.0)
+        nest_grid = make_grid(nx=21, ny=11, nlev=15, dx=2.0, dy=2.0,
+                              xlon0=-30.0, ylat0=20.0, xglobal=False)
         cmd = Command(ibdate=20200101, ibtime=0, iedate=20200101,
                       ietime=30000, lsynctime=900, loutstep=3600,
-                      loutaver=3600, loutsample=900, lconvection=0,
-                      mdomainfill=1)
+                      loutaver=3600, loutsample=900, lconvection=0)
         box = ReleaseBox(idate1=20200101, itime1=0, idate2=20200101,
                          itime2=0, lon1=0.0, lon2=2.0, lat1=40.0,
                          lat2=42.0, z1=50.0, z2=500.0, mass=(1.0,),
@@ -127,6 +129,7 @@ def test_tiles_rejects_unsupported(tmp_path):
         Simulation(cmd=cmd, releases=Releases(species=(Species(),),
                                               boxes=(box,)),
                    grid=grid, met_backend=SyntheticMet(grid),
+                   met_nests=(SyntheticMet(nest_grid),),
                    outgrid=OutGrid(outlon0=-60.0, outlat0=-40.0,
                                    numxgrid=10, numygrid=10, dxout=2.0,
                                    dyout=2.0, outheights=(1000.0,)),
