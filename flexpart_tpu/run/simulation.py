@@ -459,7 +459,7 @@ class Simulation:
                                         np.abs(eta_p.vvh).max()))
                 import concurrent.futures as _cf
                 fut = _cf.Future()
-                fut.set_result((eta_p, etan_p))
+                fut.set_result(("raw", (eta_p, etan_p)))
                 self._prefetch[t0p] = fut
             except Exception:
                 log.warning("met probe for halo sizing failed; using "
